@@ -1,0 +1,107 @@
+#!/usr/bin/env python3
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+`value` is the total wall-clock of the headline query set; once the
+extraction core lands, the primary extraction throughput (docs/sec) is
+reported alongside under "extras". Each query is forced with a noop
+sink (full compute, no driver collect).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+HEADLINE = [
+    "pricing_summary",
+    "revenue_by_nation",
+    "top_orders_per_cust",
+    "dedup_latest_event",
+    "resume_anti_join",
+    "rollup_source_lang",
+    "events_daily",
+    "salted_lang_agg",
+    "string_stats",
+    "candidate_scores",
+    "dedup_exact",
+    "minhash_lsh_dups",
+    "simhash_docs",
+    "knn_brute_topk",
+    "ann_lsh_topk",
+    "token_stats",
+    "quality_score",
+    "doc_fingerprint",
+]
+
+
+def force(df) -> int:
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    from readability_py_spark.operators import merged_queries
+    from readability_py_spark.session import build_session
+
+    spark = build_session(
+        app_name="rps-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=str(max(int(cpus), 8)),
+    )
+    spark.sparkContext.setLogLevel("WARN")
+    qmap, _ = merged_queries()
+
+    # Warm up codegen/scan machinery once so the first timed query
+    # isn't charged JVM JIT + noop-sink classloading.
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).limit(
+        1000
+    ).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qmap[name]
+        # warm the scan cache path once at tiny scale is unnecessary;
+        # measure a single cold run per query like the driver would.
+        t0 = time.monotonic()
+        force(fn(spark, sf_dir))
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    # Extraction throughput (flagship plan); becomes the primary
+    # metric once the byte-faithful extractor is wired in.
+    try:
+        from readability_py_spark.plans.extract_job import bench_extraction
+
+        extras.update(bench_extraction(spark, sf_dir))
+    except ImportError:
+        pass
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+        "cpus": int(cpus),
+        "extras": extras,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

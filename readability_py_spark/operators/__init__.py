@@ -1,0 +1,19 @@
+"""Corpus-level operators: relational surface + training-data pipeline ops.
+
+Each module exports ``QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]]``
+and ``ORACLES: dict[str, str]`` (DuckDB ANSI SQL twins; omitted for
+non-SQL-expressible ops, which the driver checks rows-only).
+"""
+
+from __future__ import annotations
+
+
+def merged_queries():
+    from . import dedup, relational, similarity, textstats
+
+    q: dict = {}
+    o: dict = {}
+    for mod in (relational, dedup, similarity, textstats):
+        q.update(mod.QUERIES)
+        o.update(mod.ORACLES)
+    return q, o

@@ -1,0 +1,528 @@
+"""Relational operator surface (SURVEY.md §2.2) over the driver testdata.
+
+Every query here is the Spark-native analogue of a capability the
+extraction job needs at 100 TB scale (scan/filter/project, dedup-latest,
+broadcast + shuffle joins, semi/anti join resume, aggregation, rollup,
+windows, set ops, string/date/JSON functions, salted skew-safe
+aggregation), each with a DuckDB oracle twin.
+
+Cross-engine float discipline: any SUM over doubles goes through
+``CAST(x AS DECIMAL(18,4))`` (exact, associative — immune to partition
+ordering) and is cast back to DOUBLE at the end; derived ratios are
+computed in doubles from those exact sums and rounded. This keeps the
+order-insensitive value-hash identical between Spark and DuckDB at any
+partitioning, which is also the property that makes the numbers stable
+between a 8-core local run and a 1000-executor cluster.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..session import load_table
+
+
+def _dsum(col: str) -> F.Column:
+    """Exact, order-insensitive sum of a double column → double."""
+    return F.sum(F.col(col).cast("decimal(18,4)")).cast("double")
+
+
+# ---------------------------------------------------------------------------
+# Scan / filter / project
+# ---------------------------------------------------------------------------
+
+def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus pre-filter: the lang/non-empty predicate pushed to the scan
+    (extraction job stage 1). Mirrors SURVEY §2.2 'Filter / predicate'."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.filter((F.col("lang") == "en") & (F.col("n_chars") > 200))
+        .select(
+            "doc_id",
+            "source",
+            F.length("text").alias("text_len"),
+            F.substring("text", 1, 20).alias("head20"),
+        )
+    )
+
+
+ORACLE_CORPUS_FILTER = """
+SELECT doc_id, source, length(text) AS text_len, substr(text, 1, 20) AS head20
+FROM documents WHERE lang = 'en' AND n_chars > 200
+"""
+
+
+# ---------------------------------------------------------------------------
+# Aggregation (TPC-H Q1 style pricing summary)
+# ---------------------------------------------------------------------------
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,4)")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum("l_quantity").alias("sum_qty"),
+            _dsum("l_extendedprice").alias("sum_base_price"),
+            F.sum(dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - dec("l_discount")))
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .withColumn("avg_qty", F.round(F.col("sum_qty") / F.col("count_order"), 4))
+        .withColumn("avg_price", F.round(F.col("sum_base_price") / F.col("count_order"), 4))
+    )
+
+
+ORACLE_PRICING_SUMMARY = """
+WITH base AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+              * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+           AS sum_disc_price,
+         COUNT(*) AS count_order
+  FROM lineitem
+  WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+  GROUP BY l_returnflag, l_linestatus
+)
+SELECT l_returnflag, l_linestatus, sum_qty, sum_base_price, sum_disc_price, count_order,
+       ROUND(sum_qty / count_order, 4) AS avg_qty,
+       ROUND(sum_base_price / count_order, 4) AS avg_price
+FROM base
+"""
+
+
+# ---------------------------------------------------------------------------
+# Joins: broadcast dim chain (orders ⋈ customer ⋈ nation ⋈ region)
+# ---------------------------------------------------------------------------
+
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join with explicitly broadcast small dims — at 100 TB the fact
+    side streams; only nation/region/customer fit driver-side."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name"))
+        .agg(
+            _dsum("o_totalprice").alias("revenue"),
+            F.count(F.lit(1)).alias("order_cnt"),
+        )
+    )
+
+
+ORACLE_REVENUE_BY_NATION = """
+SELECT r_name AS region_name, n_name AS nation_name,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+       COUNT(*) AS order_cnt
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# Window: top-k per group, dedup-latest
+# ---------------------------------------------------------------------------
+
+def q_top_orders_per_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+ORACLE_TOP_ORDERS_PER_CUST = """
+SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+  FROM orders
+) WHERE rn <= 3
+"""
+
+
+def q_dedup_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-by-latest: the pattern that keeps one row per url at the
+    newest warc_ts in the pages corpus (SURVEY §2.2 'Dedup')."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "ts", "event_type")
+    )
+
+
+ORACLE_DEDUP_LATEST_EVENT = """
+SELECT user_id, event_id, ts, event_type FROM (
+  SELECT user_id, event_id, ts, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+def q_host_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 largest docs per source — the 'worst skew hosts' report."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        docs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("source", "doc_id", "n_chars", "rnk")
+    )
+
+
+ORACLE_HOST_TOPK_DOCS = """
+SELECT source, doc_id, n_chars, rnk FROM (
+  SELECT source, doc_id, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id ASC) AS rnk
+  FROM documents
+) WHERE rnk <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# Semi / anti joins (resume protocol)
+# ---------------------------------------------------------------------------
+
+def q_resume_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resume = pages LEFT ANTI JOIN done-manifest. The done set here is
+    a deterministic subset (doc_id % 7 = 0) standing in for the
+    checkpoint manifest; broadcast it (small vs the corpus)."""
+    docs = load_table(spark, sf_dir, "documents")
+    done = docs.filter(F.col("doc_id") % 7 == 0).select("doc_id")
+    return (
+        docs.join(F.broadcast(done), "doc_id", "left_anti")
+        .select("doc_id", "lang", "n_chars")
+    )
+
+
+ORACLE_RESUME_ANTI_JOIN = """
+SELECT doc_id, lang, n_chars FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM documents WHERE doc_id % 7 = 0)
+"""
+
+
+def q_custs_with_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    big = orders.filter(F.col("o_totalprice") > 100000).select("o_custkey")
+    return (
+        cust.join(big, cust.c_custkey == big.o_custkey, "left_semi")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+ORACLE_CUSTS_WITH_BIG_ORDERS = """
+SELECT c_custkey, c_name, c_mktsegment FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_totalprice > 100000)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Set operations
+# ---------------------------------------------------------------------------
+
+def q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    buyers = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    erroring = ev.filter(F.col("event_type") == "error").select("user_id").distinct()
+    return buyers.subtract(erroring)
+
+
+ORACLE_SET_EXCEPT = """
+SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+EXCEPT
+SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
+"""
+
+
+def q_set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    buyers = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    signups = ev.filter(F.col("event_type") == "signup").select("user_id").distinct()
+    return buyers.intersect(signups)
+
+
+ORACLE_SET_INTERSECT = """
+SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+INTERSECT
+SELECT DISTINCT user_id FROM events WHERE event_type = 'signup'
+"""
+
+
+def q_set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    buyers = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    signups = ev.filter(F.col("event_type") == "signup").select("user_id")
+    return buyers.union(signups).distinct()
+
+
+ORACLE_SET_UNION = """
+SELECT DISTINCT user_id FROM (
+  SELECT user_id FROM events WHERE event_type = 'purchase'
+  UNION ALL
+  SELECT user_id FROM events WHERE event_type = 'signup'
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Rollup / grouping sets
+# ---------------------------------------------------------------------------
+
+def q_rollup_source_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.rollup("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("doc_cnt"),
+            F.sum("n_chars").alias("chars_total"),
+            F.grouping("source").cast("int").alias("g_source"),
+            F.grouping("lang").cast("int").alias("g_lang"),
+        )
+    )
+
+
+ORACLE_ROLLUP_SOURCE_LANG = """
+SELECT source, lang, COUNT(*) AS doc_cnt, SUM(n_chars) AS chars_total,
+       CAST(GROUPING(source) AS INT) AS g_source, CAST(GROUPING(lang) AS INT) AS g_lang
+FROM documents GROUP BY ROLLUP(source, lang)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Date / JSON functions
+# ---------------------------------------------------------------------------
+
+def q_orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.year("o_orderdate").alias("yy"), F.month("o_orderdate").alias("mm")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("order_cnt"),
+            _dsum("o_totalprice").alias("total"),
+        )
+    )
+
+
+ORACLE_ORDERS_BY_MONTH = """
+SELECT CAST(year(o_orderdate) AS INT) AS yy, CAST(month(o_orderdate) AS INT) AS mm,
+       COUNT(*) AS order_cnt,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+FROM orders GROUP BY 1, 2
+"""
+
+
+def q_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """warc_ts-style day bucketing — the corpus partitioning key."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.to_date("ts").alias("day"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"), _dsum("value").alias("value_sum"))
+    )
+
+
+ORACLE_EVENTS_DAILY = """
+SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS value_sum
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props column → typed metric (metadata columns of
+    multimodal/page rows travel as JSON strings)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn("k", F.get_json_object("props", "$.k").cast("long"))
+        .groupBy("event_type")
+        .agg(F.sum("k").alias("k_sum"), F.max("k").alias("k_max"))
+    )
+
+
+ORACLE_EVENTS_JSON = """
+SELECT event_type, SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
+FROM events GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Salted skew-safe aggregation (north-rule: explicit skew handling)
+# ---------------------------------------------------------------------------
+
+def q_salted_lang_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation: groupBy(lang, salt) → re-agg by lang.
+    Same result as direct groupBy(lang) (the oracle), but the first
+    shuffle spreads a hot key over 8 reducers — the pattern used for
+    Zipf-hot hosts in the pages corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    phase1 = (
+        docs.withColumn("salt", F.pmod(F.col("doc_id"), F.lit(8)))
+        .groupBy("lang", "salt")
+        .agg(F.count(F.lit(1)).alias("c"), F.sum("n_chars").alias("s"))
+    )
+    return phase1.groupBy("lang").agg(
+        F.sum("c").alias("doc_cnt"), F.sum("s").alias("chars_total")
+    )
+
+
+ORACLE_SALTED_LANG_AGG = """
+SELECT lang, COUNT(*) AS doc_cnt, SUM(n_chars) AS chars_total
+FROM documents GROUP BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# String functions mirroring the in-document scalar ops (O10/O16 analogues)
+# ---------------------------------------------------------------------------
+
+def q_string_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc text stats: length, comma count, word count, normalized
+    length — the SQL-expressible faces of get_inner_text/paragraph
+    scoring (reference readability.py:1215-1233, 634-668)."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("raw_len"),
+        F.length(norm).alias("norm_len"),
+        F.regexp_count(F.col("text"), F.lit(",")).alias("commas"),
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("words"),
+    )
+
+
+ORACLE_STRING_STATS = r"""
+SELECT doc_id,
+       length(text) AS raw_len,
+       length(regexp_replace(trim(text), '\s+', ' ', 'g')) AS norm_len,
+       len(regexp_extract_all(text, ',')) AS commas,
+       len(regexp_split_to_array(trim(text), '\s+')) AS words
+FROM documents
+"""
+
+
+def q_candidate_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O10 analogue as a relational query: paragraph score
+    1 + commas + min(len // 100, 3) for texts ≥ 25 chars, rolled up to
+    the parent (source) at full weight and the grandparent at half
+    weight with floor division — the reference's two-level keyed-sum
+    (readability.py:653-668, floor-div at :662/:668)."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm_len = F.length(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    score = (
+        F.lit(1)
+        + F.regexp_count(F.col("text"), F.lit(","))
+        + F.least(F.floor(norm_len / 100), F.lit(3)).cast("int")
+    )
+    scored = docs.filter(norm_len >= 25).withColumn("score", score)
+    return scored.groupBy("source").agg(
+        F.sum("score").alias("parent_score"),
+        F.sum(F.floor(F.col("score") / 2)).alias("grandparent_score"),
+        F.count(F.lit(1)).alias("candidate_count"),
+    )
+
+
+ORACLE_CANDIDATE_SCORES = r"""
+WITH scored AS (
+  SELECT source,
+         1 + len(regexp_extract_all(text, ','))
+           + LEAST(length(regexp_replace(trim(text), '\s+', ' ', 'g')) // 100, 3) AS score
+  FROM documents
+  WHERE length(regexp_replace(trim(text), '\s+', ' ', 'g')) >= 25
+)
+SELECT source, SUM(score) AS parent_score, SUM(score // 2) AS grandparent_score,
+       COUNT(*) AS candidate_count
+FROM scored GROUP BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# Multimodal column plumbing (binary payload + typed metadata)
+# ---------------------------------------------------------------------------
+
+def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary handling: payload byte length + magic-bytes sniff.
+    documents.text stands in for the media blob (no image bytes in the
+    driver testdata); the real decode path is the mapInPandas stub in
+    operators/multimodal.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    blob = F.encode(F.col("text"), "utf-8")
+    return docs.select(
+        "doc_id",
+        F.octet_length(blob).alias("n_bytes"),
+        F.lower(F.substring(F.hex(blob), 1, 8)).alias("magic4"),
+    )
+
+
+ORACLE_MEDIA_META = """
+SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+       lower(substr(hex(encode(text)), 1, 8)) AS magic4
+FROM documents
+"""
+
+
+QUERIES = {
+    "corpus_filter": q_corpus_filter,
+    "pricing_summary": q_pricing_summary,
+    "revenue_by_nation": q_revenue_by_nation,
+    "top_orders_per_cust": q_top_orders_per_cust,
+    "dedup_latest_event": q_dedup_latest_event,
+    "host_topk_docs": q_host_topk_docs,
+    "resume_anti_join": q_resume_anti_join,
+    "custs_with_big_orders": q_custs_with_big_orders,
+    "set_except": q_set_except,
+    "set_intersect": q_set_intersect,
+    "set_union": q_set_union,
+    "rollup_source_lang": q_rollup_source_lang,
+    "orders_by_month": q_orders_by_month,
+    "events_daily": q_events_daily,
+    "events_json": q_events_json,
+    "salted_lang_agg": q_salted_lang_agg,
+    "string_stats": q_string_stats,
+    "candidate_scores": q_candidate_scores,
+    "media_meta": q_media_meta,
+}
+
+ORACLES = {
+    "corpus_filter": ORACLE_CORPUS_FILTER,
+    "pricing_summary": ORACLE_PRICING_SUMMARY,
+    "revenue_by_nation": ORACLE_REVENUE_BY_NATION,
+    "top_orders_per_cust": ORACLE_TOP_ORDERS_PER_CUST,
+    "dedup_latest_event": ORACLE_DEDUP_LATEST_EVENT,
+    "host_topk_docs": ORACLE_HOST_TOPK_DOCS,
+    "resume_anti_join": ORACLE_RESUME_ANTI_JOIN,
+    "custs_with_big_orders": ORACLE_CUSTS_WITH_BIG_ORDERS,
+    "set_except": ORACLE_SET_EXCEPT,
+    "set_intersect": ORACLE_SET_INTERSECT,
+    "set_union": ORACLE_SET_UNION,
+    "rollup_source_lang": ORACLE_ROLLUP_SOURCE_LANG,
+    "orders_by_month": ORACLE_ORDERS_BY_MONTH,
+    "events_daily": ORACLE_EVENTS_DAILY,
+    "events_json": ORACLE_EVENTS_JSON,
+    "salted_lang_agg": ORACLE_SALTED_LANG_AGG,
+    "string_stats": ORACLE_STRING_STATS,
+    "candidate_scores": ORACLE_CANDIDATE_SCORES,
+    "media_meta": ORACLE_MEDIA_META,
+}

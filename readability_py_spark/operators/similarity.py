@@ -1,0 +1,238 @@
+"""Similarity search over the embeddings table (array<float>, 64-dim).
+
+- brute-force cosine top-k: the correctness baseline (query set × full
+  candidate scan). At 100 TB this is the per-bucket inner loop only.
+- LSH-bucketed ANN: sign-random-projection buckets from a fixed, seeded
+  hyperplane set (embedded as literals so the DuckDB oracle runs the
+  identical math), then top-k within bucket — candidate generation is
+  an equi-join on bucket id, which shuffles uniformly and never goes
+  quadratic.
+- embedding near-dup: pair filter at high cosine inside label blocks.
+
+Float discipline: all math is done after casting the float32 vectors to
+double; ordering keys round to 9 decimals (ties then break on vec_id)
+and reported cosines round to 4, so both engines select and emit
+identical rows.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..session import load_table
+
+DIM = 64
+N_PLANES = 4
+TOPK = 5
+QUERY_SET_SIZE = 20
+NEAR_DUP_COS = 0.42
+
+_rng = np.random.RandomState(1234)
+HYPERPLANES: list[list[float]] = [
+    [round(float(x), 6) for x in _rng.randn(DIM)] for _ in range(N_PLANES)
+]
+
+
+def _vec(col: str = "embedding") -> Column:
+    return F.transform(F.col(col), lambda x: x.cast("double"))
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _lit_vec(vals: list[float]) -> Column:
+    return F.array(*[F.lit(v) for v in vals])
+
+
+def _duck_lit(vals: list[float]) -> str:
+    return "[" + ", ".join(repr(v) for v in vals) + "]"
+
+
+def _normed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        "label",
+        _vec().alias("v"),
+        F.sqrt(_dot(_vec(), _vec())).alias("nrm"),
+    )
+
+
+_DUCK_NORMED = """
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         sqrt(list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                               list_transform(embedding, x -> CAST(x AS DOUBLE)))) AS nrm
+  FROM embeddings
+"""
+
+
+def q_knn_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k for a query set — the ANN recall baseline."""
+    n = _normed(spark, sf_dir)
+    q = n.filter(F.col("vec_id") < QUERY_SET_SIZE).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    cos = _dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))
+    pairs = (
+        q.crossJoin(n)
+        .filter(F.col("q_id") != F.col("vec_id"))
+        .select("q_id", "vec_id", F.round(cos, 9).alias("cos9"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos9"), F.asc("vec_id"))
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOPK)
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(F.col("cos9"), 4).alias("cosine"),
+            "rnk",
+        )
+    )
+
+
+ORACLE_KNN_BRUTE_TOPK = f"""
+WITH n AS ({_DUCK_NORMED}),
+q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM n WHERE vec_id < {QUERY_SET_SIZE}),
+pairs AS (
+  SELECT q_id, vec_id, ROUND(list_dot_product(qv, v) / (qn * nrm), 9) AS cos9
+  FROM q CROSS JOIN n WHERE q_id <> vec_id
+),
+ranked AS (
+  SELECT q_id, vec_id, cos9,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos9 DESC, vec_id ASC) AS rnk
+  FROM pairs
+)
+SELECT q_id, vec_id AS neighbor_id, ROUND(cos9, 4) AS cosine, rnk
+FROM ranked WHERE rnk <= {TOPK}
+"""
+
+
+def _bucket_col() -> Column:
+    b = F.lit(0)
+    for p, plane in enumerate(HYPERPLANES):
+        b = b + F.when(_dot(F.col("v"), _lit_vec(plane)) > 0, F.lit(1 << p)).otherwise(
+            F.lit(0)
+        )
+    return b.cast("int")
+
+
+def _duck_bucket() -> str:
+    terms = [
+        f"(CASE WHEN list_dot_product(v, {_duck_lit(plane)}) > 0 THEN {1 << p} ELSE 0 END)"
+        for p, plane in enumerate(HYPERPLANES)
+    ]
+    return "CAST(" + " + ".join(terms) + " AS INT)"
+
+
+def q_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-random-projection bucket assignment (the persisted ANN index)."""
+    n = _normed(spark, sf_dir)
+    return n.select("vec_id", "label", _bucket_col().alias("bucket"))
+
+
+ORACLE_ANN_LSH_BUCKETS = f"""
+WITH n AS ({_DUCK_NORMED})
+SELECT vec_id, label, {_duck_bucket()} AS bucket FROM n
+"""
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k: candidates restricted to the query's LSH bucket —
+    equi-join on bucket, then per-query window. The 100 TB plan: index
+    build is one pass, lookup shuffles only bucket-mates."""
+    n = _normed(spark, sf_dir).withColumn("bucket", _bucket_col())
+    q = n.filter(F.col("vec_id") < QUERY_SET_SIZE).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+        F.col("bucket").alias("qb"),
+    )
+    cos = _dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))
+    pairs = (
+        q.join(n, q.qb == n.bucket)
+        .filter(F.col("q_id") != F.col("vec_id"))
+        .select("q_id", "vec_id", F.round(cos, 9).alias("cos9"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos9"), F.asc("vec_id"))
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOPK)
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(F.col("cos9"), 4).alias("cosine"),
+            "rnk",
+        )
+    )
+
+
+ORACLE_ANN_LSH_TOPK = f"""
+WITH n AS ({_DUCK_NORMED}),
+b AS (SELECT vec_id, v, nrm, {_duck_bucket()} AS bucket FROM n),
+q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, bucket AS qb
+      FROM b WHERE vec_id < {QUERY_SET_SIZE}),
+pairs AS (
+  SELECT q_id, vec_id, ROUND(list_dot_product(qv, v) / (qn * nrm), 9) AS cos9
+  FROM q JOIN b ON qb = bucket WHERE q_id <> vec_id
+),
+ranked AS (
+  SELECT q_id, vec_id, cos9,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos9 DESC, vec_id ASC) AS rnk
+  FROM pairs
+)
+SELECT q_id, vec_id AS neighbor_id, ROUND(cos9, 4) AS cosine, rnk
+FROM ranked WHERE rnk <= {TOPK}
+"""
+
+
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, blocked on label."""
+    n = _normed(spark, sf_dir)
+    a = n.alias("a")
+    b = n.alias("b")
+    cos = _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("a_id"),
+            F.col("b.vec_id").alias("b_id"),
+            F.round(cos, 4).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= NEAR_DUP_COS)
+    )
+
+
+ORACLE_EMBEDDING_NEAR_DUPS = f"""
+WITH n AS ({_DUCK_NORMED})
+SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS cosine
+FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) >= {NEAR_DUP_COS}
+"""
+
+
+QUERIES = {
+    "knn_brute_topk": q_knn_brute_topk,
+    "ann_lsh_buckets": q_ann_lsh_buckets,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "embedding_near_dups": q_embedding_near_dups,
+}
+
+ORACLES = {
+    "knn_brute_topk": ORACLE_KNN_BRUTE_TOPK,
+    "ann_lsh_buckets": ORACLE_ANN_LSH_BUCKETS,
+    "ann_lsh_topk": ORACLE_ANN_LSH_TOPK,
+    "embedding_near_dups": ORACLE_EMBEDDING_NEAR_DUPS,
+}

@@ -1,0 +1,66 @@
+"""SparkSession builder tuned for the extraction workload.
+
+Scale rationale (100 TB / 1000-executor target, tested on local[32]):
+- AQE on: runtime coalescing + skew-join splitting replaces hand-tuned
+  shuffle partition counts at every scale.
+- Arrow batches capped small: each row can carry a multi-hundred-KB HTML
+  blob, so the 10k-row default batch would blow Python-worker memory;
+  256 rows/batch keeps a batch under ~128 MB even for fat pages.
+- shuffle.partitions is a floor; AQE coalesces down, and at cluster
+  scale a job submitter overrides it to ~2-3x total cores.
+- Session timezone pinned UTC so parquet timestamps round-trip
+  identically across engines (the DuckDB oracle is tz-naive).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = "32"
+ARROW_MAX_RECORDS_PER_BATCH = "256"
+
+
+def build_session(
+    app_name: str = "readability-py-spark",
+    master: str | None = None,
+    shuffle_partitions: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Create (or reuse) a SparkSession with engine defaults.
+
+    ``master`` falls back to ``local[$SPARK_GRAFT_CPUS]`` (default 32)
+    so the same entrypoint works under the driver harness and under
+    spark-submit on a real cluster (where --master wins and this arg
+    is left None).
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        master = f"local[{cpus}]"
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config(
+            "spark.sql.shuffle.partitions",
+            shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS,
+        )
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            ARROW_MAX_RECORDS_PER_BATCH,
+        )
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str):
+    """Read one driver-testdata parquet table."""
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
