@@ -1,0 +1,359 @@
+"""Deterministic fixture corpus (FIXTURES.md §3) + pages-table synthesis.
+
+Every fixture family pins a slice of reference behavior; the golden
+outputs come from executing the python2 reference itself
+(tools/make_goldens.py). All generation is seeded — no external data.
+
+Families deliberately avoid exact score ties in title-contest and
+pagination scoring: the reference breaks those ties by CPython-2 dict
+iteration order (readability.py:565-568, 1171-1176), which is not a
+behavior any reimplementation can or should chase.
+"""
+
+from __future__ import annotations
+
+import random
+from dataclasses import dataclass, field
+
+WORDS = (
+    "the quick brown fox jumps over lazy dog while many readers enjoy "
+    "long articles about technology science culture history travel food "
+    "economics software parsing data systems design networks languages "
+    "theory practice evidence analysis discovery method pattern detail"
+).split()
+
+
+@dataclass
+class Fixture:
+    fixture_id: str
+    family: str
+    url: str | None
+    html: bytes
+    settings: dict = field(default_factory=dict)
+
+
+def _sentence(rng: random.Random, n_words: int, commas: int = 0) -> str:
+    words = [rng.choice(WORDS) for _ in range(n_words)]
+    for _ in range(commas):
+        pos = rng.randrange(1, max(2, len(words) - 1))
+        if not words[pos].endswith(","):
+            words[pos] += ","
+    s = " ".join(words)
+    return s[0].upper() + s[1:] + "."
+
+def _para(rng: random.Random, n_sent: int = 3, wps: int = 18, commas: int = 2) -> str:
+    return " ".join(_sentence(rng, wps, commas) for _ in range(n_sent))
+
+
+def _nav(rng: random.Random) -> str:
+    return (
+        '<div id="nav"><a href="/">Home</a> <a href="/about.html">About</a> '
+        '<a href="/contact.html">Contact</a></div>'
+    )
+
+
+def _sidebar(rng: random.Random) -> str:
+    items = "".join(
+        f'<li><a href="/tag/{rng.choice(WORDS)}.html">{rng.choice(WORDS)}</a></li>'
+        for _ in range(4)
+    )
+    return f'<div class="sidebar"><ul>{items}</ul></div>'
+
+
+def _footer(rng: random.Random) -> str:
+    return '<div id="footer"><p>Copyright 2026 example. All rights reserved.</p></div>'
+
+
+def _page(title: str, body: str, head_extra: str = "") -> bytes:
+    return (
+        f"<html><head><title>{title}</title>{head_extra}</head>"
+        f"<body>{body}</body></html>"
+    ).encode("utf-8")
+
+
+# -- families ----------------------------------------------------------------
+
+def gen_simple_article(rng, i):
+    title = f"Article {i} about {rng.choice(WORDS)} - Example Site"
+    paras = "".join(f"<p>{_para(rng, 3, 20, 3)}</p>" for _ in range(4 + i % 3))
+    body = (
+        _nav(rng)
+        + f'<div class="article-content"><h2>Article {i} heading words</h2>{paras}</div>'
+        + _sidebar(rng)
+        + _footer(rng)
+    )
+    return _page(title, body), f"http://ex{i % 5:02d}.example.com/posts/article-{i}.html", {}
+
+
+def gen_div_soup(rng, i):
+    inner = "".join(
+        f"<div>{_para(rng, 2, 22, 3)}</div>" for _ in range(3)
+    )
+    mixed = (
+        f"<div>bare leading text {_sentence(rng, 12, 2)}"
+        f"<p>{_para(rng, 2, 18, 2)}</p>tail text {_sentence(rng, 10, 1)}</div>"
+    )
+    body = _nav(rng) + f"<div id='main'>{inner}{mixed}</div>" + _footer(rng)
+    return _page(f"Div soup {i}", body), f"http://divs.example.com/d/{i}.html", {}
+
+
+def gen_table_layout(rng, i):
+    cells = "".join(
+        f"<tr><td>{_para(rng, 2, 20, 3)}</td></tr>" for _ in range(3)
+    )
+    junk_table = (
+        "<table class='layout'><tr><td><img src='a.gif'><img src='b.gif'>"
+        "<input type='text'></td></tr></table>"
+    )
+    list_block = "<ul>" + "".join(f"<li>{_sentence(rng, 4)}</li>" for _ in range(5)) + "</ul>"
+    body = (
+        _nav(rng)
+        + f"<table id='content'>{cells}</table>"
+        + junk_table
+        + list_block
+        + _footer(rng)
+    )
+    return _page(f"Table layout {i}", body), f"http://tables.example.com/t/{i}.html", {}
+
+
+def gen_link_farm(rng, i):
+    farm = "".join(
+        f'<p><a href="/l/{k}.html">{_sentence(rng, 8)}</a></p>' for k in range(6)
+    )
+    art = "".join(f"<p>{_para(rng, 3, 20, 3)}</p>" for _ in range(3))
+    body = (
+        _nav(rng)
+        + f'<div class="links">{farm}</div>'
+        + f'<div class="story-body">{art}<p><a href="/more-{i}.html">related link here</a> '
+        + f"{_sentence(rng, 15, 2)}</p></div>"
+        + _footer(rng)
+    )
+    return _page(f"Link farm {i}", body), f"http://links.example.com/f/{i}.html", {}
+
+
+def gen_short_content(rng, i):
+    # total text < 250 chars → retry cascade (readability.py:762-777)
+    body = (
+        _nav(rng)
+        + f'<div class="post"><p>{_sentence(rng, 8 + i % 4, 1)}</p></div>'
+        + _footer(rng)
+    )
+    return _page(f"Short {i}", body), f"http://short.example.com/s/{i}.html", {}
+
+
+def gen_title_contest(rng, i):
+    # h1/h2 with distinct word overlaps vs <title>; no score ties
+    title = f"grand unified {rng.choice(WORDS)} theory explained fully {i}"
+    h1 = f"<h1 id='page-title'>grand unified theory explained</h1>"
+    h2a = f"<h2 class='title-block'>unrelated heading entirely {rng.choice(WORDS)}</h2>"
+    h2b = f"<h2>grand theory explained fully {i}</h2>"
+    art = "".join(f"<p>{_para(rng, 3, 18, 3)}</p>" for _ in range(4))
+    body = _nav(rng) + h1 + f"<div class='content'>{h2a}{h2b}{art}</div>" + _footer(rng)
+    return _page(title, body), f"http://titles.example.com/a/{i}.html", {}
+
+
+def gen_no_body(rng, i):
+    html = (
+        f"<html><head><title>No body {i}</title></head>"
+        f"<p>{_para(rng, 3, 20, 3)}</p><p>{_para(rng, 3, 20, 2)}</p></html>"
+    ).encode("utf-8")
+    return html, f"http://nobody.example.com/n/{i}.html", {}
+
+
+def gen_multi_body(rng, i):
+    html = (
+        f"<html><head><title>Multi body {i}</title></head>"
+        f"<body><p>{_para(rng, 3, 20, 3)}</p></body>"
+        f"<body><p>{_para(rng, 3, 20, 2)}</p></body></html>"
+    ).encode("utf-8")
+    return html, f"http://multi.example.com/m/{i}.html", {}
+
+
+def gen_malformed_nesting(rng, i):
+    body = (
+        _nav(rng)
+        + f"<div class='entry'><p>{_para(rng, 2, 20, 3)}"  # unclosed p
+        + f"<p>{_para(rng, 2, 18, 2)}<b>bold <b>double bold</b></b>"
+        + "</table>"  # stray close
+        + f"<li>orphan item {_sentence(rng, 8)}<li>second orphan {_sentence(rng, 6)}"
+        + f"<p>{_para(rng, 2, 20, 2)}</p></div>"
+        + _footer(rng)
+    )
+    return _page(f"Malformed {i}", body), f"http://broken.example.com/b/{i}.html", {}
+
+
+def gen_encodings(rng, i):
+    kind = i % 4
+    text = _para(rng, 3, 20, 3)
+    if kind == 0:
+        # windows-1252 smart quotes, no meta (utf-8 fails → cp1252)
+        body = f"<div class='post'><p>He said \x93{text}\x94 and left \x97 quickly. {_para(rng, 2, 20, 2)}</p></div>"
+        html = (f"<html><head><title>CP1252 {i}</title></head><body>{body}</body></html>").encode("latin-1")
+    elif kind == 1:
+        # UTF-8 BOM + accents
+        body = f"<div class='post'><p>Café déjà-vu naïve — {text} {_para(rng, 2, 20, 2)}</p></div>"
+        html = b"\xef\xbb\xbf" + (f"<html><head><title>BOM {i}</title></head><body>{body}</body></html>").encode("utf-8")
+    elif kind == 2:
+        # declared meta charset (windows-1252) visible to the byte scan
+        body = f"<div class='post'><p>Smart \x91{text}\x92 dash \x96 end. {_para(rng, 2, 20, 2)}</p></div>"
+        html = (
+            f"<html><head><title>Meta cp1252 {i}</title>"
+            f"<meta http-equiv=\"Content-Type\" content=\"text/html; charset=windows-1252\">"
+            f"</head><body>{body}</body></html>"
+        ).encode("latin-1")
+    else:
+        # entities + numeric/hex charrefs
+        body = (
+            f"<div class='post'><p>A&nbsp;B &amp; C &#8212; D &#x2014; E. {text}</p>"
+            f"<p>{_para(rng, 2, 20, 2)}</p></div>"
+        )
+        html = (f"<html><head><title>Entities {i}</title></head><body>{body}</body></html>").encode("utf-8")
+    return html, f"http://enc.example.com/e/{i}.html", {}
+
+
+def gen_media_embeds(rng, i):
+    body = (
+        _nav(rng)
+        + "<div class='post'>"
+        + f"<p>{_para(rng, 3, 20, 3)}</p>"
+        + '<iframe src="http://www.youtube.com/embed/abc123"></iframe>'
+        + '<iframe src="http://tracker.example.net/frame"></iframe>'
+        + f'<p><img src="/images/pic{i}.jpg" width="{500 + 200 * (i % 2)}" height="400"> {_para(rng, 2, 18, 2)}</p>'
+        + f'<p><img src="rel{i}.png"> {_para(rng, 2, 18, 2)}</p>'
+        + "</div>"
+        + _footer(rng)
+    )
+    return _page(f"Media {i}", body), f"http://media.example.com/v/{i}.html", {}
+
+
+def gen_footnotes_links(rng, i):
+    body = (
+        _nav(rng)
+        + "<div class='post'>"
+        + f'<p>{_para(rng, 2, 18, 2)} <a href="/deep/page{i}.html">an interesting reference here</a> {_sentence(rng, 10, 1)}</p>'
+        + f'<p>{_para(rng, 2, 18, 2)} <a href="http://other.example.org/doc.html">external material source</a> {_sentence(rng, 12, 2)}</p>'
+        + "</div>"
+        + _footer(rng)
+    )
+    return (
+        _page(f"Footnotes {i}", body),
+        f"http://notes.example.com/fn/{i}.html",
+        {"footnote_links": True},
+    )
+
+
+def gen_pagination(rng, i):
+    art = "".join(f"<p>{_para(rng, 3, 20, 3)}</p>" for _ in range(4))
+    pager = (
+        "<div class='pagination'>"
+        f"<a href='/fp/{i}/2.html'>2</a> "
+        f"<a href='/fp/{i}/3.html'>3</a> "
+        f"<a href='/fp/{i}/2.html' class='next'>Next</a>"
+        "</div>"
+    )
+    body = _nav(rng) + f"<div class='story'>{art}</div>" + pager + _footer(rng)
+    return _page(f"Paginated {i}", body), f"http://pages.example.com/fp/{i}/1.html", {}
+
+
+def gen_whitespace_entities(rng, i):
+    body = (
+        "<div class='post'>"
+        + f"<p>{_para(rng, 2, 18, 2)}</p>"
+        + "<br><br><br>"
+        + f"<p>A&nbsp;&nbsp;B\n\n   C\t D {_sentence(rng, 14, 2)}</p>"
+        + f"<pre>  pre   text\n  with   spacing  kept {rng.choice(WORDS)}</pre>"
+        + f"<p>{_para(rng, 2, 18, 2)}</p>"
+        + "</div>"
+    )
+    return _page(f"Whitespace {i}", body), f"http://ws.example.com/w/{i}.html", {}
+
+
+def gen_apology_page(rng, i):
+    # next to no content → the apology paragraph output
+    html = f"<html><head><title>Empty {i}</title></head><body><div id='x'></div></body></html>".encode()
+    return html, f"http://empty.example.com/a/{i}.html", {}
+
+
+FAMILIES = {
+    "simple_article": gen_simple_article,
+    "div_soup": gen_div_soup,
+    "table_layout": gen_table_layout,
+    "link_farm": gen_link_farm,
+    "short_content": gen_short_content,
+    "title_contest": gen_title_contest,
+    "no_body": gen_no_body,
+    "multi_body": gen_multi_body,
+    "malformed_nesting": gen_malformed_nesting,
+    "encodings": gen_encodings,
+    "media_embeds": gen_media_embeds,
+    "footnotes_links": gen_footnotes_links,
+    "pagination": gen_pagination,
+    "whitespace_entities": gen_whitespace_entities,
+    "apology_page": gen_apology_page,
+}
+
+
+def generate_fixtures(per_family: int = 4, seed: int = 42) -> list[Fixture]:
+    fixtures = []
+    for family, gen in FAMILIES.items():
+        for i in range(per_family):
+            rng = random.Random(f"{seed}:{family}:{i}")
+            html, url, settings = gen(rng, i)
+            fixtures.append(
+                Fixture(
+                    fixture_id=f"{family}_{i:03d}",
+                    family=family,
+                    url=url,
+                    html=html,
+                    settings=settings,
+                )
+            )
+    return fixtures
+
+
+def generate_pages_rows(n_rows: int, seed: int = 42):
+    """Synthesize the Common-Crawl-style pages corpus rows
+    (url, warc_ts_offset_sec, html, text, lang) — the BASELINE.json
+    input_hint shape. Hosts are Zipf-skewed to exercise salting."""
+    import datetime
+
+    langs = ["en"] * 9 + ["de", "fr", ""]
+    fams = list(FAMILIES)
+    rows = []
+    for k in range(n_rows):
+        rng = random.Random(f"pages:{seed}:{k}")
+        # Zipf-ish host skew: host 0 gets ~35% of pages
+        r = rng.random()
+        if r < 0.35:
+            host = 0
+        elif r < 0.55:
+            host = 1
+        else:
+            host = rng.randrange(2, 40)
+        family = fams[k % len(fams)]
+        gen = FAMILIES[family]
+        html, _url, settings = gen(rng, k % 7)
+        url = f"http://host{host:04d}.example.com/{family}/post-{k:06d}.html"
+        lang = langs[k % len(langs)]
+        # crude pre-extraction visible text (whitespace-normalized)
+        import re as _re
+
+        text = _re.sub(r"<[^>]+>", " ", html.decode("utf-8", "replace"))
+        text = _re.sub(r"\s+", " ", text).strip()
+        rows.append(
+            {
+                "url": url,
+                "warc_ts": datetime.datetime(2026, 1, 1)
+                + datetime.timedelta(seconds=k % 86400),
+                "html": html,
+                "text": text,
+                "lang": lang,
+                "settings": settings,
+            }
+        )
+    # duplicated urls with later warc_ts to exercise dedup-by-latest
+    for k in range(0, n_rows, 17):
+        dup = dict(rows[k])
+        dup["warc_ts"] = dup["warc_ts"] + datetime.timedelta(days=1)
+        rows.append(dup)
+    return rows
