@@ -82,12 +82,9 @@ def main() -> None:
 
     # Extraction throughput (flagship plan); becomes the primary
     # metric once the byte-faithful extractor is wired in.
-    try:
-        from readability_py_spark.plans.extract_job import bench_extraction
+    from readability_py_spark.plans.bench_extract import bench_extraction
 
-        extras.update(bench_extraction(spark, sf_dir))
-    except ImportError:
-        pass
+    extras.update(bench_extraction(spark, sf_dir))
 
     total = round(sum(timings.values()), 3)
     out = {

@@ -10,10 +10,13 @@ from __future__ import annotations
 
 def merged_queries():
     from . import dedup, relational, similarity, textstats
+    from ..plans import extract_job
 
     q: dict = {}
     o: dict = {}
     for mod in (relational, dedup, similarity, textstats):
         q.update(mod.QUERIES)
         o.update(mod.ORACLES)
+    q["extract_articles"] = extract_job.extract_articles_query
+    o["extract_articles"] = extract_job.ORACLE_EXTRACT_ARTICLES
     return q, o

@@ -37,8 +37,17 @@ SIMHASH_BITS = 32
 
 
 def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents + distinct bigram word-shingle set."""
-    docs = load_table(spark, sf_dir, "documents")
+    """documents + distinct bigram word-shingle set.
+
+    The scan is repartitioned before shingling: the testdata tables are
+    single parquet files (one input split), and shingle+minhash work is
+    CPU-bound — without this the whole map stage runs on one core. At
+    100 TB the input has thousands of splits and Catalyst would already
+    parallelize; the explicit repartition only matters when input
+    splits < cores."""
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     w = F.split(F.col("text"), " ")
     shingles = F.array_distinct(
         F.when(
@@ -90,7 +99,7 @@ def q_ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     (lang, n_chars//100) so the pair join is banded, not O(n²)."""
     d = _shingled(spark, sf_dir).withColumn(
         "band", (F.col("n_chars") / 100).cast("long")
-    )
+    ).persist()  # reused by both sides of the pair join
     a = d.alias("a")
     b = d.alias("b")
     inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
@@ -188,8 +197,12 @@ SELECT doc_id, CAST(band AS INT) AS band, band_sig FROM (
 def q_minhash_lsh_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full MinHash-LSH dedup: candidates = equi-join on band signature
     (uniform shuffle key — no quadratic blowup), then exact-Jaccard
-    verify at the same threshold as the banded-Jaccard query."""
-    sig = q_minhash_signatures(spark, sf_dir)
+    verify at the same threshold as the banded-Jaccard query.
+
+    The signature and shingle-set relations are cached: both sides of
+    the candidate self-join and the verify join reuse them (at corpus
+    scale these would be persisted index tables, not recomputed)."""
+    sig = q_minhash_signatures(spark, sf_dir).persist()
     a = sig.alias("a")
     b = sig.alias("b")
     cand = (
@@ -204,7 +217,7 @@ def q_minhash_lsh_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    d = _shingled(spark, sf_dir).select("doc_id", "sh")
+    d = _shingled(spark, sf_dir).select("doc_id", "sh").persist()
     da = d.alias("da")
     db = d.alias("db")
     inter = F.size(F.array_intersect(F.col("da.sh"), F.col("db.sh")))
@@ -261,7 +274,8 @@ def _simhash_sql(dialect: str) -> str:
     )
     if dialect == "spark":
         toks = (
-            "SELECT doc_id, explode(array_distinct(split(text, ' '))) AS tok"
+            "SELECT /*+ REPARTITION(32) */ doc_id,"
+            " explode(array_distinct(split(text, ' '))) AS tok"
             " FROM documents"
         )
     else:

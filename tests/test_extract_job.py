@@ -1,0 +1,78 @@
+"""Spark extraction job: end-to-end plan, metrics, and resume protocol."""
+
+from __future__ import annotations
+
+import base64
+import json
+import os
+
+import pytest
+
+from .test_extractor_goldens import CASES
+
+
+def test_flagship_entry(spark):
+    from readability_py_spark.plans.extract_job import flagship
+
+    rows = flagship(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) >= 1
+    total = sum(r["docs"] for r in rows)
+    ok = sum(r["parse_ok_docs"] for r in rows)
+    assert total == 500 and ok == total
+
+
+def test_spark_extraction_matches_goldens(spark):
+    """The Arrow-batch path must produce the same bytes as the plain
+    core on the golden fixtures (UDF wiring adds no drift)."""
+    from readability_py_spark.plans.extract_job import extraction_plan
+
+    cases = [c for c in CASES if c["ok"] and not c["settings"]][:30]
+    data = [
+        (
+            c["url"] or f"http://none.example.com/{c['id']}",
+            None,
+            base64.b64decode(c["html_b64"]),
+            "",
+            "en",
+        )
+        for c in cases
+    ]
+    pages = spark.createDataFrame(
+        data, "url string, warc_ts timestamp, html binary, text string, lang string"
+    ).withColumn("warc_ts", __import__("pyspark").sql.functions.lit("2026-01-01").cast("timestamp"))
+    out = {r["url"]: r for r in extraction_plan(pages).collect()}
+    assert len(out) == len(cases)
+    for c in cases:
+        url = c["url"] or f"http://none.example.com/{c['id']}"
+        row = out[url]
+        assert row["metrics"]["parse_ok"], c["id"]
+        assert row["article_text"].encode("utf-8") == base64.b64decode(
+            c["text_b64"]
+        ), c["id"]
+        assert row["title"].encode("utf-8") == base64.b64decode(
+            c["title_b64"]
+        ), c["id"]
+
+
+def test_resume_anti_join_protocol(spark, tmp_path):
+    from readability_py_spark.plans.bench_extract import build_pages_df
+    from readability_py_spark.plans.extract_job import run_extract_job
+
+    out_dir = str(tmp_path / "job")
+    pages = build_pages_df(spark, 60)
+    # the generator appends dup urls with later warc_ts: unique url count
+    expected = (
+        pages.filter("lang != ''").select("url").distinct().count()
+    )
+
+    # first partial run: only half the corpus "arrives"
+    first = pages.limit(40)
+    r1 = run_extract_job(spark, first, out_dir)
+    assert r1["parse_errors"] == 0
+
+    # resumed full run: already-done urls must not re-extract
+    r2 = run_extract_job(spark, pages, out_dir)
+    extracted = spark.read.parquet(os.path.join(out_dir, "extracted"))
+    urls = [r["url"] for r in extracted.select("url").collect()]
+    assert len(urls) == len(set(urls)), "url double-extracted on resume"
+    assert len(set(urls)) == expected
