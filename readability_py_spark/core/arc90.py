@@ -118,6 +118,9 @@ def _py2_floatstr(v: float) -> str:
 
 def unescape(text: str) -> str:
     # readability.py:1192-1212
+    if "&" not in text:
+        return text
+
     def fixup(m):
         t = m.group(0)
         if t[:2] == "&#":
@@ -137,6 +140,11 @@ def unescape(text: str) -> str:
     return _unescape_re.sub(fixup, text)
 
 
+# Fast-path guard: if a string contains none of these, the MULTILINE
+# trim regex degenerates to .strip(' ') and normalize to identity.
+_ws_slow_re = re.compile(r"[\t\n\r\v\f]|  ", _A)
+
+
 def get_inner_text(node, trim_spaces=True, normalize_spaces=True) -> str:
     # readability.py:1215-1233; Comments are NavigableStrings and so
     # contribute their text
@@ -152,6 +160,9 @@ def get_inner_text(node, trim_spaces=True, normalize_spaces=True) -> str:
             for t in node.contents
         ]
         text_content = " ".join(strings)
+    if trim_spaces and normalize_spaces and not _ws_slow_re.search(text_content):
+        # single-line, single-spaced: trim == strip(' '), normalize == id
+        return text_content.strip(" ")
     if trim_spaces:
         text_content = trimRe.sub("", text_content)
     if normalize_spaces:
@@ -172,7 +183,12 @@ def make_tag(name: str, attrs=None) -> Element:
     attr values, flags self-closing names."""
     attrs = list(attrs or [])
     converted = [
-        (k, _attr_entity_re.sub(_convert_attr_entity, v) if isinstance(v, str) else v)
+        (
+            k,
+            _attr_entity_re.sub(_convert_attr_entity, v)
+            if isinstance(v, str) and "&" in v
+            else v,
+        )
         for k, v in attrs
     ]
     return Element(name, converted, self_closing=name in SELF_CLOSING_TAGS)

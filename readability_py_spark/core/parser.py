@@ -320,7 +320,8 @@ class SoupParser:
 
     def _make_element(self, name: str, attrs) -> Element:
         converted = [
-            (k, _attr_entity_re.sub(_convert_attr_entity, v)) for k, v in attrs
+            (k, _attr_entity_re.sub(_convert_attr_entity, v) if "&" in v else v)
+            for k, v in attrs
         ]
         return Element(name, converted, self_closing=self._is_self_closing(name))
 

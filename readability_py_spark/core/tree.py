@@ -37,6 +37,8 @@ _ESCAPES = {"<": "&lt;", ">": "&gt;", "&": "&amp;"}
 
 
 def _escape_text(s: str) -> str:
+    if "&" not in s and "<" not in s and ">" not in s:
+        return s
     return _BARE_AMP_OR_BRACKET.sub(lambda m: _ESCAPES[m.group(0)[0]], s)
 
 
@@ -260,6 +262,23 @@ class Element:
         True, callables, and attrs dicts with str/bool values."""
         gen = self.descendants() if recursive else iter(self.contents)
         results = []
+        # fast paths for the dominant call shapes (same trick as the
+        # reference's _findAll shortcuts, readability.py:1593-1603)
+        if attrs is None and text is None and limit is None:
+            if isinstance(name, str):
+                return [
+                    n
+                    for n in gen
+                    if isinstance(n, Element) and n.name == name
+                ]
+            if name is True:
+                return [n for n in gen if isinstance(n, Element)]
+            if isinstance(name, (list, tuple, set, frozenset, dict)):
+                return [
+                    n
+                    for n in gen
+                    if isinstance(n, Element) and n.name in name
+                ]
         for node in gen:
             if _node_matches(node, name, attrs, text):
                 results.append(node)

@@ -148,8 +148,14 @@ def extraction_plan(
     )
     if done_urls is not None:
         p = p.join(F.broadcast(done_urls.select("url")), "url", "left_anti")
-    n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
-    p = p.repartition(n, F.pmod(F.hash("url"), F.lit(n)))
+    # CPU-bound Python stage: over-partition to 4 tasks/core so the
+    # longest task can't straggle. repartition(n, url) hash-partitions
+    # on url directly — uniform regardless of host skew. (Never wrap
+    # the key in pmod(hash(url), n) yourself: repartition hashes the
+    # expression AGAIN, and hashing the 0..n-1 bucket ids collides —
+    # observed 18 skewed tasks instead of 32.)
+    n = num_partitions or (4 * spark.sparkContext.defaultParallelism)
+    p = p.repartition(n, F.col("url"))
     return p.mapInPandas(extract_batch, EXTRACT_SCHEMA)
 
 

@@ -47,6 +47,13 @@ def build_session(
         )
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # CPU-bound extraction shuffles tiny blocks (~0.3 MB) that cost
+        # seconds of Python work each; stock 1 MB minPartitionSize lets
+        # AQE coalesce 128 blocks into ~10 tasks and serialize the
+        # stage. At warehouse scale with fat shuffle blocks these
+        # limits never bind.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1m")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config(

@@ -311,47 +311,46 @@ def generate_fixtures(per_family: int = 4, seed: int = 42) -> list[Fixture]:
     return fixtures
 
 
-def generate_pages_rows(n_rows: int, seed: int = 42):
-    """Synthesize the Common-Crawl-style pages corpus rows
-    (url, warc_ts_offset_sec, html, text, lang) — the BASELINE.json
-    input_hint shape. Hosts are Zipf-skewed to exercise salting."""
+def generate_page_row(k: int, seed: int = 42) -> dict:
+    """One deterministic pages-corpus row (shared by the in-memory
+    generator and the parallel parquet writer)."""
     import datetime
+    import re as _re
 
     langs = ["en"] * 9 + ["de", "fr", ""]
     fams = list(FAMILIES)
-    rows = []
-    for k in range(n_rows):
-        rng = random.Random(f"pages:{seed}:{k}")
-        # Zipf-ish host skew: host 0 gets ~35% of pages
-        r = rng.random()
-        if r < 0.35:
-            host = 0
-        elif r < 0.55:
-            host = 1
-        else:
-            host = rng.randrange(2, 40)
-        family = fams[k % len(fams)]
-        gen = FAMILIES[family]
-        html, _url, settings = gen(rng, k % 7)
-        url = f"http://host{host:04d}.example.com/{family}/post-{k:06d}.html"
-        lang = langs[k % len(langs)]
-        # crude pre-extraction visible text (whitespace-normalized)
-        import re as _re
+    rng = random.Random(f"pages:{seed}:{k}")
+    r = rng.random()
+    if r < 0.35:
+        host = 0
+    elif r < 0.55:
+        host = 1
+    else:
+        host = rng.randrange(2, 40)
+    family = fams[k % len(fams)]
+    html, _url, settings = FAMILIES[family](rng, k % 7)
+    text = _re.sub(r"<[^>]+>", " ", html.decode("utf-8", "replace"))
+    text = _re.sub(r"\s+", " ", text).strip()
+    return {
+        "url": f"http://host{host:04d}.example.com/{family}/post-{k:06d}.html",
+        "warc_ts": datetime.datetime(2026, 1, 1)
+        + datetime.timedelta(seconds=k % 86400),
+        "html": html,
+        "text": text,
+        "lang": langs[k % len(langs)],
+        "settings": settings,
+    }
 
-        text = _re.sub(r"<[^>]+>", " ", html.decode("utf-8", "replace"))
-        text = _re.sub(r"\s+", " ", text).strip()
-        rows.append(
-            {
-                "url": url,
-                "warc_ts": datetime.datetime(2026, 1, 1)
-                + datetime.timedelta(seconds=k % 86400),
-                "html": html,
-                "text": text,
-                "lang": lang,
-                "settings": settings,
-            }
-        )
-    # duplicated urls with later warc_ts to exercise dedup-by-latest
+
+def generate_pages_rows(n_rows: int, seed: int = 42):
+    """Synthesize the Common-Crawl-style pages corpus rows
+    (url, warc_ts, html, text, lang) — the BASELINE.json input_hint
+    shape. Hosts are Zipf-skewed (host 0 ≈ 35% of pages) to exercise
+    skew handling; every 17th url is duplicated with a later warc_ts to
+    exercise dedup-by-latest."""
+    import datetime
+
+    rows = [generate_page_row(k, seed) for k in range(n_rows)]
     for k in range(0, n_rows, 17):
         dup = dict(rows[k])
         dup["warc_ts"] = dup["warc_ts"] + datetime.timedelta(days=1)

@@ -1,0 +1,114 @@
+#!/usr/bin/env python3
+"""Standalone extraction job for spark-submit (the north rule's
+deployment path: ``spark-submit --py-files engine.zip tools/spark_job.py``).
+
+Generates the seeded synthetic pages corpus, runs the full extraction
+plan, and prints ONE JSON line with throughput + per-partition metrics.
+Master/parallelism come from spark-submit (--master local[N]); the
+timed window excludes Python-worker warmup (a long-running production
+job amortizes worker start to zero).
+
+Usage:
+  spark-submit --master local[8] --py-files engine.zip \
+      tools/spark_job.py --docs 20000 --label local8
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=20000)
+    ap.add_argument("--input", default=None, help="pages parquet dir (else generate)")
+    ap.add_argument("--label", default="run")
+    ap.add_argument("--shuffle-partitions", type=int, default=None)
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    builder = (
+        SparkSession.builder.appName(f"rps-extract-{args.label}")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1m")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
+    )
+    spark = builder.getOrCreate()
+    cores = spark.sparkContext.defaultParallelism
+    n_shuffle = args.shuffle_partitions or cores
+    spark.conf.set("spark.sql.shuffle.partitions", str(n_shuffle))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from readability_py_spark.plans.bench_extract import build_pages_df
+    from readability_py_spark.plans.extract_job import extraction_plan
+
+    if args.input:
+        pages = spark.read.parquet(args.input).persist()
+    else:
+        pages = build_pages_df(spark, args.docs).persist()
+    n_in = pages.count()
+    total_bytes = pages.select(F.sum(F.octet_length("html"))).collect()[0][0]
+
+    # warm python workers (excluded from the timed window)
+    import pandas as pd
+
+    def _noop(it):
+        for pdf in it:
+            yield pd.DataFrame({"n": [len(pdf)]})
+
+    pages.repartition(cores).mapInPandas(_noop, "n long").count()
+
+    # Steady-state measurement: 3 reps, report the best of the last two
+    # (the first still pays lingering worker/JIT warmth; a production
+    # job runs this stage for hours). 4 tasks/core keeps the last wave
+    # balanced against the retry-heavy document families.
+    n_parts = 4 * cores
+    walls = []
+    for _rep in range(3):
+        t0 = time.monotonic()
+        extracted = extraction_plan(pages, num_partitions=n_parts)
+        stats = (
+            extracted.groupBy("part_id")
+            .agg(
+                F.count(F.lit(1)).alias("docs"),
+                F.round(F.avg("metrics.top_score"), 2).alias("avg_top_score"),
+                F.round(F.avg("metrics.link_density"), 4).alias("avg_link_density"),
+                F.sum("metrics.retries").alias("retries"),
+                F.sum(F.when(~F.col("metrics.parse_ok"), 1).otherwise(0)).alias(
+                    "errors"
+                ),
+            )
+            .collect()
+        )
+        walls.append(time.monotonic() - t0)
+    wall = min(walls[1:])
+    n_out = sum(r["docs"] for r in stats)
+    print(
+        json.dumps(
+            {
+                "label": args.label,
+                "cores": cores,
+                "input_rows": n_in,
+                "extracted_docs": n_out,
+                "wall_sec": round(wall, 3),
+                "docs_per_sec": round(n_out / wall, 1),
+                "mb_per_sec": round(total_bytes / wall / 1e6, 2),
+                "parse_errors": int(sum(r["errors"] for r in stats)),
+                "retries": int(sum(r["retries"] for r in stats)),
+                "partitions": len(stats),
+                "max_partition_docs": max(r["docs"] for r in stats),
+                "min_partition_docs": min(r["docs"] for r in stats),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
