@@ -86,6 +86,18 @@ def main() -> None:
 
     extras.update(bench_extraction(spark, sf_dir))
 
+    # include the latest two-parallelism scaling evidence if present
+    scaling_path = os.path.join(REPO, "scaling.json")
+    if os.path.exists(scaling_path):
+        with open(scaling_path) as fh:
+            s = json.load(fh)
+        extras["scaling"] = {
+            "docs_per_sec_local8": s["local8"]["docs_per_sec"],
+            "docs_per_sec_local32": s["local32"]["docs_per_sec"],
+            "efficiency": s["scaling_efficiency"],
+            "hw_ceiling_efficiency": s.get("hw_ceiling_efficiency"),
+        }
+
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline_queries_total_wall",

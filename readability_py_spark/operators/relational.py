@@ -483,8 +483,157 @@ FROM documents
 """
 
 
+# ---------------------------------------------------------------------------
+# Cube / percentiles / sessionization / pivot / global top-k
+# ---------------------------------------------------------------------------
+
+def q_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        _dsum("o_totalprice").alias("total"),
+        F.grouping("o_orderstatus").cast("int").alias("g_status"),
+        F.grouping("o_orderpriority").cast("int").alias("g_prio"),
+    )
+
+
+ORACLE_CUBE_ORDERS = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total,
+       CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+       CAST(GROUPING(o_orderpriority) AS INT) AS g_prio
+FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+"""
+
+
+def q_price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact (interpolated) percentiles — both engines sort + linear
+    interpolation, so values match bit-for-bit after round(4)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.25)"), 4).alias("p25"),
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.75)"), 4).alias("p75"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90"),
+    )
+
+
+ORACLE_PRICE_QUARTILES = """
+SELECT l_returnflag,
+       ROUND(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+       ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+       ROUND(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+       ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: a new session starts after a >30-minute gap —
+    lag + running-sum window (the scalable sessionizer: one shuffle on
+    user_id, no self-join)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lag_ts = F.lag("ts").over(w)
+    is_new = F.when(
+        lag_ts.isNull()
+        | ((F.col("ts") - lag_ts) > F.expr("INTERVAL 1800 SECONDS")),
+        1,
+    ).otherwise(0)
+    return (
+        ev.withColumn("is_new", is_new)
+        .withColumn(
+            "session_id",
+            F.sum("is_new").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .select("user_id", "event_id", "ts", "session_id")
+    )
+
+
+ORACLE_SESSIONIZE_EVENTS = """
+WITH g AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR date_diff('second', lag(ts) OVER w, ts) > 1800
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, event_id, ts,
+       SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING) AS session_id
+FROM g
+"""
+
+
+def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: per-user counts of each event type (fixed value list —
+    at scale the list comes from a prior distinct scan)."""
+    ev = load_table(spark, sf_dir, "events")
+    types = ["click", "view", "purchase", "signup", "error"]
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, types)
+    )
+
+
+ORACLE_EVENTS_PIVOT = """
+SELECT user_id,
+       SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
+       SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view,
+       SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
+       SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
+       SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error
+FROM events GROUP BY user_id
+"""
+
+
+def q_top_parts_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-10 (orderBy + limit → TakeOrdered, no full sort at
+    scale) over a broadcast dim join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    dec = lambda c: F.col(c).cast("decimal(18,4)")
+    rev = (
+        li.groupBy("l_partkey")
+        .agg(
+            F.sum(dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - dec("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+    return (
+        rev.join(F.broadcast(part), rev.l_partkey == part.p_partkey)
+        .select("p_partkey", "p_name", "revenue")
+        .orderBy(F.desc("revenue"), F.asc("p_partkey"))
+        .limit(10)
+    )
+
+
+ORACLE_TOP_PARTS_BY_REVENUE = """
+WITH rev AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+              * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT p_partkey, p_name, revenue
+FROM rev JOIN part ON l_partkey = p_partkey
+ORDER BY revenue DESC, p_partkey ASC LIMIT 10
+"""
+
+
 QUERIES = {
     "corpus_filter": q_corpus_filter,
+    "cube_orders": q_cube_orders,
+    "price_quartiles": q_price_quartiles,
+    "sessionize_events": q_sessionize_events,
+    "events_pivot": q_events_pivot,
+    "top_parts_by_revenue": q_top_parts_by_revenue,
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
     "top_orders_per_cust": q_top_orders_per_cust,
@@ -507,6 +656,11 @@ QUERIES = {
 
 ORACLES = {
     "corpus_filter": ORACLE_CORPUS_FILTER,
+    "cube_orders": ORACLE_CUBE_ORDERS,
+    "price_quartiles": ORACLE_PRICE_QUARTILES,
+    "sessionize_events": ORACLE_SESSIONIZE_EVENTS,
+    "events_pivot": ORACLE_EVENTS_PIVOT,
+    "top_parts_by_revenue": ORACLE_TOP_PARTS_BY_REVENUE,
     "pricing_summary": ORACLE_PRICING_SUMMARY,
     "revenue_by_nation": ORACLE_REVENUE_BY_NATION,
     "top_orders_per_cust": ORACLE_TOP_ORDERS_PER_CUST,

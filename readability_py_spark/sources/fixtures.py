@@ -183,7 +183,7 @@ def gen_malformed_nesting(rng, i):
 
 
 def gen_encodings(rng, i):
-    kind = i % 4
+    kind = i % 6
     text = _para(rng, 3, 20, 3)
     if kind == 0:
         # windows-1252 smart quotes, no meta (utf-8 fails → cp1252)
@@ -201,13 +201,29 @@ def gen_encodings(rng, i):
             f"<meta http-equiv=\"Content-Type\" content=\"text/html; charset=windows-1252\">"
             f"</head><body>{body}</body></html>"
         ).encode("latin-1")
-    else:
+    elif kind == 3:
         # entities + numeric/hex charrefs
         body = (
             f"<div class='post'><p>A&nbsp;B &amp; C &#8212; D &#x2014; E. {text}</p>"
             f"<p>{_para(rng, 2, 20, 2)}</p></div>"
         )
         html = (f"<html><head><title>Entities {i}</title></head><body>{body}</body></html>").encode("utf-8")
+    elif kind == 4:
+        # UTF-16LE with BOM (exercises the sniff + re-encode path,
+        # readability.py:3118-3131)
+        body = f"<div class='post'><p>Unicode déjà — {text} {_para(rng, 2, 20, 2)}</p></div>"
+        html = b"\xff\xfe" + (
+            f"<html><head><title>UTF16 {i}</title></head><body>{body}</body></html>"
+        ).encode("utf-16-le")
+    else:
+        # late meta charset invisible to the byte scan ('charset&#61=')
+        # → StopParsing restart (readability.py:2816-2861)
+        body = f"<div class='post'><p>Smart \x93{text}\x94 quote. {_para(rng, 2, 20, 2)}</p></div>"
+        html = (
+            f"<html><head><title>Restart {i}</title>"
+            f"<meta http-equiv=\"Content-Type\" content=\"text/html; charset&#61;windows-1252\">"
+            f"</head><body>{body}</body></html>"
+        ).encode("latin-1")
     return html, f"http://enc.example.com/e/{i}.html", {}
 
 

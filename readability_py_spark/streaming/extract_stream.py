@@ -1,0 +1,83 @@
+"""Structured Streaming scaffold for the extraction pipeline.
+
+The north rule is resumable *batch* (SURVEY.md §7.4), but the engine
+exposes the streaming face for completeness: a pages stream (e.g. a
+WARC-drop directory or Kafka topic at production scale) flows through
+the same Arrow-batch extractor; checkpointing gives exactly-once file
+sinks. Late data is handled by watermarking warc_ts for windowed
+metric aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..plans.extract_job import EXTRACT_SCHEMA, extract_batch
+
+PAGES_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("warc_ts", T.TimestampType()),
+        T.StructField("html", T.BinaryType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+    ]
+)
+
+
+def pages_stream(spark: SparkSession, input_dir: str) -> DataFrame:
+    """File-drop source: each new parquet file in input_dir is a
+    micro-batch of pages."""
+    return (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .format("parquet")
+        .load(input_dir)
+    )
+
+
+def streaming_extraction(pages: DataFrame) -> DataFrame:
+    """Transform a pages stream into an extracted-articles stream.
+
+    No url-dedup window here (global dedup is a batch concern; in
+    streaming it becomes dropDuplicates with a watermark)."""
+    filtered = (
+        pages.withWatermark("warc_ts", "1 hour")
+        .dropDuplicates(["url"])
+        .filter(
+            (F.col("lang") != "") & F.col("html").isNotNull()
+            & (F.octet_length("html") > 0)
+        )
+        .select("url", "html")
+    )
+    return filtered.mapInPandas(extract_batch, EXTRACT_SCHEMA)
+
+
+def streaming_metrics(pages: DataFrame) -> DataFrame:
+    """Windowed corpus metrics with late-data tolerance: docs and bytes
+    per (10-minute window, lang)."""
+    return (
+        pages.withWatermark("warc_ts", "30 minutes")
+        .groupBy(F.window("warc_ts", "10 minutes"), F.col("lang"))
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum(F.octet_length("html")).alias("bytes"),
+        )
+    )
+
+
+def run_to_memory_sink(
+    stream: DataFrame, name: str, output_mode: str = "append"
+):
+    """Drive a stream to completion over currently-available input
+    (used by tests; production uses a parquet/Kafka sink + checkpoint)."""
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q

@@ -24,7 +24,7 @@ OUT = os.path.join(REPO, "tests", "fixtures", "goldens.jsonl")
 
 
 def main() -> None:
-    fixtures = generate_fixtures(per_family=4, seed=42)
+    fixtures = generate_fixtures(per_family=6, seed=42)
     reqs = "".join(
         json.dumps(
             {

@@ -117,6 +117,8 @@ def main() -> None:
         "loadavg_after": [round(x, 1) for x in os.getloadavg()],
     }
     print(json.dumps(result, indent=2))
+    with open(os.path.join(REPO, "scaling.json"), "w") as fh:
+        json.dump(result, fh, indent=1)
     out = os.path.join(REPO, "BENCH.md")
     with open(out, "w") as fh:
         fh.write(
