@@ -41,6 +41,13 @@ HEADLINE = [
     "token_stats",
     "quality_score",
     "doc_fingerprint",
+    "cube_orders",
+    "price_quartiles",
+    "sessionize_events",
+    "events_pivot",
+    "top_parts_by_revenue",
+    "media_decode_stub",
+    "extract_articles",
 ]
 
 

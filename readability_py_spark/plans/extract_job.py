@@ -165,17 +165,33 @@ def run_extract_job(
     out_dir: str,
     num_partitions: int | None = None,
 ) -> dict:
-    """Resumable run: anti-join the done manifest, extract, append
-    output + manifest, return per-run metrics."""
-    manifest_path = os.path.join(out_dir, "_done_manifest")
-    output_path = os.path.join(out_dir, "extracted")
+    """Resumable run: anti-join the done manifest, extract, append a
+    snapshot (with lineage) + manifest, return per-run metrics.
+
+    A killed run resumes per-partition: urls whose output committed are
+    in the manifest and are anti-joined away; the remainder re-extracts
+    (idempotent — extraction is deterministic per url)."""
+    from ..sources.catalog import LocalTableCatalog
+
+    catalog = LocalTableCatalog(out_dir)
     done = None
-    if os.path.exists(manifest_path):
-        done = spark.read.parquet(manifest_path)
+    if catalog.exists("done_manifest"):
+        done = catalog.read(spark, "done_manifest")
     extracted = extraction_plan(pages, done_urls=done, num_partitions=num_partitions)
-    extracted.write.mode("append").parquet(output_path)
-    out = spark.read.parquet(output_path)
-    out.select("url").distinct().write.mode("append").parquet(manifest_path)
+    snap = catalog.append(
+        extracted,
+        "extracted",
+        lineage={
+            "job": "extract",
+            "resumed": done is not None,
+            "num_partitions": num_partitions,
+        },
+    )
+    out = catalog.read(spark, "extracted")
+    new_done = out.select("url").distinct()
+    if done is not None:
+        new_done = new_done.join(done, "url", "left_anti")
+    catalog.append(new_done, "done_manifest", lineage={"for_snapshot": snap["snapshot_id"]})
     stats = (
         out.groupBy("part_id")
         .agg(
@@ -193,6 +209,7 @@ def run_extract_job(
         "partitions": len(stats),
         "docs": sum(r["docs"] for r in stats),
         "parse_errors": sum(r["parse_errors"] for r in stats),
+        "snapshot_id": snap["snapshot_id"],
         "per_partition": [r.asDict() for r in stats],
     }
 

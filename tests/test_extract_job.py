@@ -72,7 +72,18 @@ def test_resume_anti_join_protocol(spark, tmp_path):
 
     # resumed full run: already-done urls must not re-extract
     r2 = run_extract_job(spark, pages, out_dir)
-    extracted = spark.read.parquet(os.path.join(out_dir, "extracted"))
+    from readability_py_spark.sources.catalog import LocalTableCatalog
+
+    catalog = LocalTableCatalog(out_dir)
+    extracted = catalog.read(spark, "extracted")
     urls = [r["url"] for r in extracted.select("url").collect()]
     assert len(urls) == len(set(urls)), "url double-extracted on resume"
     assert len(set(urls)) == expected
+
+    # snapshot lineage: two commits, second marked resumed
+    snaps = catalog.snapshots("extracted")
+    assert len(snaps) == 2
+    assert snaps[0]["lineage"]["resumed"] is False
+    assert snaps[1]["lineage"]["resumed"] is True
+    assert snaps[1]["parent_id"] == snaps[0]["snapshot_id"]
+    assert r2["snapshot_id"] == snaps[1]["snapshot_id"]

