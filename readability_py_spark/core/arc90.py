@@ -30,6 +30,7 @@ from .parser import (
     _convert_attr_entity,
 )
 from .tree import Comment, Element, TextNode
+from .tree import mutation_epoch as _tree_epoch
 
 _A = re.ASCII
 _I = re.IGNORECASE
@@ -147,12 +148,19 @@ _ws_slow_re = re.compile(r"[\t\n\r\v\f]|  ", _A)
 
 def get_inner_text(node, trim_spaces=True, normalize_spaces=True) -> str:
     # readability.py:1215-1233; Comments are NavigableStrings and so
-    # contribute their text
+    # contribute their text. Results for Elements are memoized against
+    # the tree mutation epoch (pure optimization: the pipeline
+    # recomputes inner text for unmutated nodes constantly).
     if not node:
         return ""
     if isinstance(node, (TextNode, str)) and not isinstance(node, Element):
         text_content = str(node)
     else:
+        cacheable = trim_spaces and normalize_spaces
+        if cacheable:
+            cached = node._itext_cache
+            if cached is not None and cached[0] == _tree_epoch():
+                return cached[1]
         if len(node.contents) == 0:
             return ""
         strings = [
@@ -160,6 +168,13 @@ def get_inner_text(node, trim_spaces=True, normalize_spaces=True) -> str:
             for t in node.contents
         ]
         text_content = " ".join(strings)
+        if cacheable:
+            if not _ws_slow_re.search(text_content):
+                result = text_content.strip(" ")
+            else:
+                result = normalizeRe.sub(" ", trimRe.sub("", text_content))
+            node._itext_cache = (_tree_epoch(), result)
+            return result
     if trim_spaces and normalize_spaces and not _ws_slow_re.search(text_content):
         # single-line, single-spaced: trim == strip(' '), normalize == id
         return text_content.strip(" ")

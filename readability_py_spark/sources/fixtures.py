@@ -290,8 +290,67 @@ def gen_apology_page(rng, i):
     return html, f"http://empty.example.com/a/{i}.html", {}
 
 
+def gen_exotic_markup(rng, i):
+    """CDATA, processing instructions, doctype, MS marked sections,
+    bogus declarations, SGML shorttags — the tokenizer's rare paths
+    (readability.py:2686-2708, markupbase declaration scanners)."""
+    kind = i % 4
+    art = "".join(f"<p>{_para(rng, 3, 20, 3)}</p>" for _ in range(3))
+    if kind == 0:
+        pre = "<!DOCTYPE html><?php echo 'hi'; ?><![CDATA[raw <b>stuff</b> &amp;]]>"
+    elif kind == 1:
+        pre = "<![if !IE]><!-- conditional --><![endif]>"
+    elif kind == 2:
+        # bogus declaration → SGMLParseError → rest-as-data is too
+        # destructive mid-page; put it after the article
+        pre = "<!-- normal comment -->"
+        art += "<!bogus@decl>"
+    else:
+        pre = "<!>"  # empty declaration
+    body = pre + f"<div class='article'>{art}</div>" + _footer(rng)
+    return _page(f"Exotic {i}", body), f"http://exotic.example.com/x/{i}.html", {}
+
+
+def gen_readable_footnotes(rng, i):
+    """footnote_links + readable_footnote_links + service_uri — the
+    urllib.quote rewriting path (readability.py:334-359)."""
+    body = (
+        _nav(rng)
+        + "<div class='post'>"
+        + f'<p>{_para(rng, 2, 18, 2)} <a href="/ref/a{i}.html?q=1&x=2">the primary reference material</a> {_sentence(rng, 12, 2)}</p>'
+        + f'<p>{_para(rng, 2, 18, 2)} <a href="http://alt.example.org/doc{i}.html">another interesting source</a> {_sentence(rng, 10, 1)}</p>'
+        + "</div>"
+        + _footer(rng)
+    )
+    return (
+        _page(f"Readable footnotes {i}", body),
+        f"http://rfn.example.com/p/{i}.html",
+        {
+            "footnote_links": True,
+            "readable_footnote_links": True,
+            "service_uri": "http://readable.example.com/g?u=%s",
+            "read_margin": "margin-wide",
+        },
+    )
+
+
+def gen_no_title(rng, i):
+    """No <title>; a single h1 becomes the candidate title
+    (readability.py:495-498)."""
+    art = "".join(f"<p>{_para(rng, 3, 20, 3)}</p>" for _ in range(3))
+    h1 = f"<h1>The Lone Heading Number {i}</h1>"
+    html = (
+        f"<html><head></head><body>{_nav(rng)}{h1}"
+        f"<div class='content'>{art}</div>{_footer(rng)}</body></html>"
+    ).encode("utf-8")
+    return html, f"http://untitled.example.com/u/{i}.html", {}
+
+
 FAMILIES = {
     "simple_article": gen_simple_article,
+    "exotic_markup": gen_exotic_markup,
+    "readable_footnotes": gen_readable_footnotes,
+    "no_title": gen_no_title,
     "div_soup": gen_div_soup,
     "table_layout": gen_table_layout,
     "link_farm": gen_link_farm,

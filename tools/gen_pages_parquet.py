@@ -41,6 +41,14 @@ def generate_parquet(out_dir: str, n_rows: int, seed: int = 42, procs: int = 32)
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    # write to a temp dir and rename atomically so an interrupted run
+    # never leaves a partial corpus that looks complete
+    final_dir = out_dir
+    out_dir = out_dir + ".tmp"
+    if os.path.exists(out_dir):
+        import shutil
+
+        shutil.rmtree(out_dir)
     os.makedirs(out_dir, exist_ok=True)
     chunk = max(1, n_rows // (procs * 4))
     jobs = [
@@ -60,6 +68,7 @@ def generate_parquet(out_dir: str, n_rows: int, seed: int = 42, procs: int = 32)
             table.slice(lo, rows_per_file),
             os.path.join(out_dir, f"part-{i:04d}.parquet"),
         )
+    os.rename(out_dir, final_dir)
     return table.num_rows
 
 
