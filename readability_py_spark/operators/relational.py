@@ -487,6 +487,52 @@ FROM documents
 # Cube / percentiles / sessionization / pivot / global top-k
 # ---------------------------------------------------------------------------
 
+def q_host_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derive-host projection + per-host rollup over the synthesized
+    page urls (SURVEY §2.2 'Projection'): regexp_extract works
+    identically in both engines (Spark's parse_url has no DuckDB twin)."""
+    from ..plans.extract_job import pages_from_documents
+
+    pages = pages_from_documents(spark, sf_dir)
+    host = F.regexp_extract(F.col("url"), r"^[a-z]+://([^/]+)/", 1)
+    return (
+        pages.select(host.alias("host"))
+        .groupBy("host")
+        .agg(F.count(F.lit(1)).alias("pages"))
+    )
+
+
+ORACLE_HOST_PROJECTION = r"""
+SELECT regexp_extract(concat('http://', source, '.example.com/doc-',
+                              CAST(doc_id AS VARCHAR), '.html'),
+                      '^[a-z]+://([^/]+)/', 1) AS host,
+       COUNT(*) AS pages
+FROM documents GROUP BY 1
+"""
+
+
+def q_explode_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UDTF-shaped operator: one row per (doc, position, token) —
+    the lateral-explode face used for shingle/footnote tables."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.filter(F.col("doc_id") < 50)
+        .select(
+            "doc_id",
+            F.posexplode(F.split(F.col("text"), " ")).alias("pos", "word"),
+        )
+    )
+
+
+ORACLE_EXPLODE_WORDS = """
+SELECT doc_id, CAST(i - 1 AS INT) AS pos, string_split(text, ' ')[i] AS word
+FROM (SELECT doc_id, text,
+             unnest(range(1, len(string_split(text, ' ')) + 1)) AS i
+      FROM documents)
+WHERE doc_id < 50
+"""
+
+
 def q_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     return orders.cube("o_orderstatus", "o_orderpriority").agg(
@@ -629,6 +675,8 @@ ORDER BY revenue DESC, p_partkey ASC LIMIT 10
 
 QUERIES = {
     "corpus_filter": q_corpus_filter,
+    "host_projection": q_host_projection,
+    "explode_words": q_explode_words,
     "cube_orders": q_cube_orders,
     "price_quartiles": q_price_quartiles,
     "sessionize_events": q_sessionize_events,
@@ -656,6 +704,8 @@ QUERIES = {
 
 ORACLES = {
     "corpus_filter": ORACLE_CORPUS_FILTER,
+    "host_projection": ORACLE_HOST_PROJECTION,
+    "explode_words": ORACLE_EXPLODE_WORDS,
     "cube_orders": ORACLE_CUBE_ORDERS,
     "price_quartiles": ORACLE_PRICE_QUARTILES,
     "sessionize_events": ORACLE_SESSIONIZE_EVENTS,
