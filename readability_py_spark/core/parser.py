@@ -185,6 +185,11 @@ class SoupParser:
         self.root: Element | None = None
         self.original_encoding: str | None = None
         self.declared_html_encoding: str | None = None
+        # sgmllib's _decl_otherchars: '=' allowed in non-doctype
+        # declarations until the first DOCTYPE sets it to '' — the
+        # mutation persists for the instance's lifetime (sgmllib:219,
+        # markupbase parse_declaration), incl. across charset restarts
+        self.decl_otherchars = "="
         self._parse_document()
 
     # -- top-level driver -------------------------------------------
@@ -647,7 +652,6 @@ class SoupParser:
         if rawdata[j : j + 1] in ("-", ""):
             return -1
         n = len(rawdata)
-        decl_otherchars = ""
         if rawdata[j : j + 2] == "--":
             return self._parse_comment(i)
         elif rawdata[j] == "[":
@@ -657,7 +661,7 @@ class SoupParser:
         if j < 0:
             return j
         if decltype == "doctype":
-            decl_otherchars = ""
+            self.decl_otherchars = ""
         while j < n:
             c = rawdata[j]
             if c == ">":
@@ -673,7 +677,7 @@ class SoupParser:
                 j = m.end()
             elif c in "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ":
                 _name, j = self._scan_name(j, i)
-            elif c in decl_otherchars:
+            elif c in self.decl_otherchars:
                 j += 1
             elif c == "[":
                 if decltype == "doctype":

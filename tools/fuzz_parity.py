@@ -83,6 +83,8 @@ def rand_content(rng: random.Random, depth: int) -> str:
             parts.append(rng.choice([
                 "<!-- comment -->", "<!-- unterminated", "<!DOCTYPE html>",
                 "<![CDATA[cd <x> ata]]>", "<?pi data?>", "</>", "<>",
+                "<!ENTITY x = 'y'>", "<!weird a=b>",
+                "<!DOCTYPE html [<!ENTITY foo 'bar'>]>",
             ]))
     return "".join(parts)
 
