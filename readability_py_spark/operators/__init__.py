@@ -19,4 +19,6 @@ def merged_queries():
         o.update(mod.ORACLES)
     q["extract_articles"] = extract_job.extract_articles_query
     o["extract_articles"] = extract_job.ORACLE_EXTRACT_ARTICLES
+    q["extract_footnotes"] = extract_job.extract_footnotes_query
+    o["extract_footnotes"] = extract_job.ORACLE_EXTRACT_FOOTNOTES
     return q, o

@@ -73,6 +73,22 @@ def extract_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """Arrow-batch extraction UDF: one fresh Arc90 pipeline per document
     (the reference's retry cascade mutates its settings, so state can
     never be reused across documents — readability.py:762-777)."""
+    yield from _extract_batches(batches, {})
+
+
+def make_extract_batch(settings: dict):
+    """Extraction UDF with job-level settings (footnote_links etc);
+    the settings dict is captured by cloudpickle and applied per doc."""
+
+    def _fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        yield from _extract_batches(batches, settings)
+
+    return _fn
+
+
+def _extract_batches(
+    batches: Iterator[pd.DataFrame], settings: dict
+) -> Iterator[pd.DataFrame]:
     from pyspark import TaskContext
 
     from ..core.arc90 import extract_document
@@ -85,7 +101,7 @@ def extract_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for url, html in zip(pdf["url"], pdf["html"]):
             raw = bytes(html) if html is not None else b""
             try:
-                res = extract_document(raw, url=url)
+                res = extract_document(raw, url=url, **settings)
                 out["url"].append(url)
                 out["title"].append(res["title"])
                 out["article_html"].append(res["article_html"])
@@ -126,6 +142,7 @@ def extraction_plan(
     pages: DataFrame,
     done_urls: DataFrame | None = None,
     num_partitions: int | None = None,
+    settings: dict | None = None,
 ) -> DataFrame:
     """Build the full logical plan over a pages DataFrame
     (url, warc_ts, html, text, lang)."""
@@ -156,7 +173,8 @@ def extraction_plan(
     # observed 18 skewed tasks instead of 32.)
     n = num_partitions or (4 * spark.sparkContext.defaultParallelism)
     p = p.repartition(n, F.col("url"))
-    return p.mapInPandas(extract_batch, EXTRACT_SCHEMA)
+    fn = make_extract_batch(settings) if settings else extract_batch
+    return p.mapInPandas(fn, EXTRACT_SCHEMA)
 
 
 def run_extract_job(
@@ -283,6 +301,62 @@ SELECT concat('http://', source, '.example.com/doc-', CAST(doc_id AS VARCHAR), '
        concat('Doc ', CAST(doc_id AS VARCHAR), ' from ', source) AS title,
        trim(regexp_replace(concat('{FILLER}', ' ', trim(text)), '\s+', ' ', 'g')) AS article_text,
        TRUE AS parse_ok
+FROM documents
+"""
+
+
+def linked_pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Template pages with one absolute reference link per document —
+    used to drive the footnote-generation path through the UDF."""
+    docs = load_table(spark, sf_dir, "documents")
+    ref_url = F.concat(
+        F.lit("http://ref.example.org/d"),
+        F.col("doc_id").cast("string"),
+        F.lit(".html"),
+    )
+    html_str = F.concat(
+        F.lit("<html><head><title>Linked "),
+        F.col("doc_id").cast("string"),
+        F.lit("</title></head><body>"),
+        F.lit('<div class="article-content"><p>'),
+        F.lit(FILLER),
+        F.lit('</p><p>See <a href="'),
+        ref_url,
+        F.lit('">the cited reference material</a> for details, details, details.</p></div>'),
+        F.lit("</body></html>"),
+    )
+    return docs.select(
+        F.concat(
+            F.lit("http://"), F.col("source"),
+            F.lit(".example.com/linked-"), F.col("doc_id").cast("string"),
+            F.lit(".html"),
+        ).alias("url"),
+        F.lit("2026-01-01 00:00:00").cast("timestamp").alias("warc_ts"),
+        F.encode(html_str, "utf-8").alias("html"),
+        F.lit("").alias("text"),
+        F.lit("en").alias("lang"),
+        F.col("doc_id"),
+    )
+
+
+def extract_footnotes_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """queries() entry: footnote generation through the Arrow UDF
+    (footnote_links=True), exploded to a (url, href, text) link table —
+    the UDTF face of the footnotes array column."""
+    pages = linked_pages_from_documents(spark, sf_dir)
+    extracted = extraction_plan(pages, settings={"footnote_links": True})
+    fn = extracted.select("url", F.explode("footnotes").alias("f"))
+    return fn.select(
+        "url",
+        F.col("f.href").alias("href"),
+        F.col("f.text").alias("fn_text"),
+    )
+
+
+ORACLE_EXTRACT_FOOTNOTES = """
+SELECT concat('http://', source, '.example.com/linked-', CAST(doc_id AS VARCHAR), '.html') AS url,
+       concat('http://ref.example.org/d', CAST(doc_id AS VARCHAR), '.html') AS href,
+       concat('http://ref.example.org/d', CAST(doc_id AS VARCHAR), '.html') AS fn_text
 FROM documents
 """
 
