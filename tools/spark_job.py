@@ -64,13 +64,22 @@ def main() -> None:
 
     pages.repartition(cores).mapInPandas(_noop, "n long").count()
 
+    def cpu_stat():
+        parts = open("/proc/stat").readline().split()
+        v = list(map(int, parts[1:9]))
+        return v  # user nice system idle iowait irq softirq steal
+
     # Steady-state measurement: 3 reps, report the best of the last two
     # (the first still pays lingering worker/JIT warmth; a production
     # job runs this stage for hours). 4 tasks/core keeps the last wave
-    # balanced against the retry-heavy document families.
+    # balanced against the retry-heavy document families. Each rep
+    # records hypervisor steal% from /proc/stat — the external-noise
+    # evidence for this shared box.
     n_parts = 4 * cores
     walls = []
+    rep_steal = []
     for _rep in range(3):
+        s_before = cpu_stat()
         t0 = time.monotonic()
         extracted = extraction_plan(pages, num_partitions=n_parts)
         stats = (
@@ -87,7 +96,12 @@ def main() -> None:
             .collect()
         )
         walls.append(time.monotonic() - t0)
-    wall = min(walls[1:])
+        s_after = cpu_stat()
+        deltas = [b - a for a, b in zip(s_before, s_after)]
+        total = sum(deltas) or 1
+        rep_steal.append(round(100.0 * deltas[7] / total, 1))
+    best_idx = 1 + walls[1:].index(min(walls[1:]))
+    wall = walls[best_idx]
     n_out = sum(r["docs"] for r in stats)
     print(
         json.dumps(
@@ -104,6 +118,9 @@ def main() -> None:
                 "partitions": len(stats),
                 "max_partition_docs": max(r["docs"] for r in stats),
                 "min_partition_docs": min(r["docs"] for r in stats),
+                "rep_walls": [round(w, 2) for w in walls],
+                "rep_steal_pct": rep_steal,
+                "steal_pct": rep_steal[best_idx],
             }
         )
     )
