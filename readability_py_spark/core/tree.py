@@ -120,6 +120,7 @@ class Element:
         "contains_substitutions",
         "readability",
         "_itext_cache",
+        "_attr_map",
     )
 
     def __init__(self, name: str, attrs=None, self_closing: bool = False):
@@ -132,26 +133,36 @@ class Element:
         self.contains_substitutions = False
         self.readability = None  # side-band score dict (readability.py:941)
         self._itext_cache = None  # (epoch, text) memo, see mutation_epoch
+        self._attr_map = None  # lazily-built, NEVER rebuilt (see get())
 
     # -- attributes ------------------------------------------------
+    # Attribute READS go through a map that is built on first access
+    # and never rebuilt from the list (readability.py:2104-2111);
+    # __delitem__'s skip-bug can leave duplicates in the list that the
+    # cached map no longer knows about — an observable divergence the
+    # reference exhibits (found by differential fuzzing), so the stale
+    # cache is reproduced faithfully. Rendering and __eq__ use the
+    # ordered list.
+    def _get_attr_map(self) -> dict:
+        if self._attr_map is None:
+            m = {}
+            for k, v in self.attrs:
+                m[k] = v  # last duplicate wins
+            self._attr_map = m
+        return self._attr_map
+
     def get(self, key, default=None):
-        val = default
-        for k, v in self.attrs:
-            if k == key:
-                val = v  # last duplicate wins (readability.py:2104-2111)
-        return val
+        return self._get_attr_map().get(key, default)
 
     def has_attr(self, key) -> bool:
-        return any(k == key for k, _ in self.attrs)
+        return key in self._get_attr_map()
 
     def __getitem__(self, key):
-        sentinel = object()
-        v = self.get(key, sentinel)
-        if v is sentinel:
-            raise KeyError(key)
-        return v
+        return self._get_attr_map()[key]
 
     def __setitem__(self, key, value):
+        # readability.py:1870-1882: updates the map and every list dup
+        self._get_attr_map()[key] = value
         found = False
         for i, (k, _) in enumerate(self.attrs):
             if k == key:
@@ -172,6 +183,10 @@ class Element:
             item = attrs[i]
             if item[0] == key:
                 attrs.remove(item)  # removes first == item, like py2
+                # map cleared inside the loop too (readability.py:1891-1893)
+                m = self._get_attr_map()
+                if key in m:
+                    del m[key]
             i += 1
 
     # -- structural equality (readability.py:1909-1922) ------------

@@ -346,8 +346,26 @@ def gen_no_title(rng, i):
     return html, f"http://untitled.example.com/u/{i}.html", {}
 
 
+def gen_dup_attrs(rng, i):
+    """Duplicate attribute keys interacting with the reference's cached
+    attr map: del tag['class'] clears the cache but the skip-bug leaves
+    a list duplicate, so later get('class') sees the stale empty cache
+    (found by differential fuzzing, round 1)."""
+    art = "".join(f"<p>{_para(rng, 3, 20, 3)}</p>" for _ in range(3))
+    body = (
+        "<div class='story' class='story-alt'>"
+        + art
+        + f'<p><img src="pic{i}.png" width="{400 + 100 * (i % 3)}" class="c1" class="c2"> {_para(rng, 2, 18, 2)}</p>'
+        + f"<p><a href='/x{i}.html' id='lnk' id='lnk2'>some linked reference text</a> {_sentence(rng, 12, 2)}</p>"
+        + "</div>"
+        + _footer(rng)
+    )
+    return _page(f"Dup attrs {i}", body), f"http://dup.example.com/d/{i}.html", {}
+
+
 FAMILIES = {
     "simple_article": gen_simple_article,
+    "dup_attrs": gen_dup_attrs,
     "exotic_markup": gen_exotic_markup,
     "readable_footnotes": gen_readable_footnotes,
     "no_title": gen_no_title,

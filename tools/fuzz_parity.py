@@ -57,6 +57,11 @@ def rand_elem(rng: random.Random, depth: int) -> str:
         v = rng.choice(vals)
         q = rng.choice(['"', "'"])
         attrs += f" {k}={q}{v}{q}" if rng.random() < 0.9 else f" {k}={v}"
+    if rng.random() < 0.06:
+        # duplicate attribute keys (order + dup handling quirks)
+        attrs += ' class="dup1" class="dup2"'
+    if rng.random() < 0.04:
+        attrs += " checked"  # bare attribute
     open_tag = f"<{tag}{attrs}>"
     if tag in ("br", "hr", "img", "input"):
         return open_tag
@@ -84,6 +89,8 @@ def rand_content(rng: random.Random, depth: int) -> str:
                 "<!-- comment -->", "<!-- unterminated", "<!DOCTYPE html>",
                 "<![CDATA[cd <x> ata]]>", "<?pi data?>", "</>", "<>",
                 "<!ENTITY x = 'y'>", "<!weird a=b>",
+                "<table><tr><td><table><tr><td>deep</td></tr></table>",
+                "<dl><dt>t<dd>d<dt>t2", "<ul><li><ul><li>n",
                 "<!DOCTYPE html [<!ENTITY foo 'bar'>]>",
             ]))
     return "".join(parts)
