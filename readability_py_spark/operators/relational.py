@@ -242,16 +242,32 @@ WHERE EXISTS (SELECT 1 FROM orders
 # ---------------------------------------------------------------------------
 
 def q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(user_id, day) pairs with a purchase but no error that day.
+
+    Round-2 fix (VERDICT item 9): the round-1 version subtracted on
+    bare user_id, which was empty at sf0.01 (every user has every
+    event type) — a vacuous green. Keying by (user_id, day) yields a
+    non-empty difference (1018 rows at sf0.01), so the pair actually
+    proves EXCEPT semantics."""
     ev = load_table(spark, sf_dir, "events")
-    buyers = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
-    erroring = ev.filter(F.col("event_type") == "error").select("user_id").distinct()
+    day = F.to_date("ts").alias("day")
+    buyers = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", day)
+        .distinct()
+    )
+    erroring = (
+        ev.filter(F.col("event_type") == "error")
+        .select("user_id", day)
+        .distinct()
+    )
     return buyers.subtract(erroring)
 
 
 ORACLE_SET_EXCEPT = """
-SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events WHERE event_type = 'purchase'
 EXCEPT
-SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
+SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events WHERE event_type = 'error'
 """
 
 
@@ -303,7 +319,8 @@ def q_rollup_source_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_ROLLUP_SOURCE_LANG = """
-SELECT source, lang, COUNT(*) AS doc_cnt, SUM(n_chars) AS chars_total,
+SELECT source, lang, COUNT(*) AS doc_cnt,
+       CAST(SUM(n_chars) AS BIGINT) AS chars_total,
        CAST(GROUPING(source) AS INT) AS g_source, CAST(GROUPING(lang) AS INT) AS g_lang
 FROM documents GROUP BY ROLLUP(source, lang)
 """
@@ -362,7 +379,8 @@ def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_EVENTS_JSON = """
-SELECT event_type, SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+SELECT event_type,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
        MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
 FROM events GROUP BY event_type
 """
@@ -389,7 +407,7 @@ def q_salted_lang_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_SALTED_LANG_AGG = """
-SELECT lang, COUNT(*) AS doc_cnt, SUM(n_chars) AS chars_total
+SELECT lang, COUNT(*) AS doc_cnt, CAST(SUM(n_chars) AS BIGINT) AS chars_total
 FROM documents GROUP BY lang
 """
 
@@ -452,7 +470,8 @@ WITH scored AS (
   FROM documents
   WHERE length(regexp_replace(trim(text), '\s+', ' ', 'g')) >= 25
 )
-SELECT source, SUM(score) AS parent_score, SUM(score // 2) AS grandparent_score,
+SELECT source, CAST(SUM(score) AS BIGINT) AS parent_score,
+       CAST(SUM(score // 2) AS BIGINT) AS grandparent_score,
        COUNT(*) AS candidate_count
 FROM scored GROUP BY source
 """
@@ -608,8 +627,8 @@ WITH g AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 )
 SELECT user_id, event_id, ts,
-       SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                         ROWS UNBOUNDED PRECEDING) AS session_id
+       CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
 FROM g
 """
 
@@ -629,11 +648,11 @@ def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_EVENTS_PIVOT = """
 SELECT user_id,
-       SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
-       SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view,
-       SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
-       SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
-       SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error
+       CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+       CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+       CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error
 FROM events GROUP BY user_id
 """
 

@@ -2,8 +2,21 @@
 
 Runs a queries() DataFrame and its oracle SQL on the same parquet
 tables, then compares row count, column names, and order-insensitive
-values (every cell canonicalized to a string; floats via repr of the
-rounded double; timestamps via isoformat).
+values.
+
+Driver-faithfulness (round-2 fix): the driver's value hash
+distinguishes numeric *types*, not just printed values — DuckDB
+``SUM(integer)`` comes back through Arrow as ``decimal128(38,0)``
+while Spark returns int64, and the driver flagged six queries round 1
+that the old stringifying harness called equal.  So now:
+
+- the DuckDB result is fetched via ``fetch_arrow_table()`` (the same
+  typed path the driver reads), so HUGEINT sums surface as
+  ``decimal.Decimal`` rather than being silently collapsed to ``int``
+  by ``fetchall()``;
+- every cell is canonicalized with a *type tag* (``i:`` int, ``f:``
+  float, ``d:`` decimal, ``s:`` str, ...), so an int64 150 and a
+  decimal128 150 no longer compare equal.
 """
 
 from __future__ import annotations
@@ -43,19 +56,27 @@ def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
 def _canon_cell(v) -> str:
     if v is None:
         return "<null>"
+    if isinstance(v, bool):  # before int: bool is an int subclass
+        return f"b:{v}"
     if isinstance(v, float):
         if math.isnan(v):
-            return "nan"
-        return repr(round(v, 9))
+            return "f:nan"
+        return f"f:{repr(round(v, 9))}"
     if isinstance(v, _dec.Decimal):
-        return repr(round(float(v), 9))
+        # Decimal stays Decimal-tagged: the driver distinguishes a
+        # decimal128 sum from an int64 sum even when values are equal.
+        return f"d:{v}"
+    if isinstance(v, int):
+        return f"i:{v}"
     if isinstance(v, _dt.datetime):
-        return v.replace(tzinfo=None).isoformat()
+        return "t:" + v.replace(tzinfo=None).isoformat()
+    if isinstance(v, _dt.date):
+        return "D:" + v.isoformat()
     if isinstance(v, (bytes, bytearray)):
-        return v.hex()
+        return "x:" + v.hex()
     if isinstance(v, list):
         return "[" + ",".join(_canon_cell(x) for x in v) + "]"
-    return str(v)
+    return f"s:{v}"
 
 
 def canon_rows(cols: list[str], rows: list[tuple]) -> list[tuple]:
@@ -63,13 +84,23 @@ def canon_rows(cols: list[str], rows: list[tuple]) -> list[tuple]:
     return sorted(tuple(_canon_cell(r[i]) for i in order) for r in rows)
 
 
+def _duck_typed_rows(con, oracle_sql: str) -> tuple[list[str], list[tuple]]:
+    """Fetch through Arrow so DuckDB's result types survive (HUGEINT →
+    decimal128 → decimal.Decimal), matching what the driver hashes."""
+    tbl = con.execute(oracle_sql).fetch_arrow_table()
+    cols = tbl.schema.names
+    pylists = [col.to_pylist() for col in tbl.columns]
+    rows = list(zip(*pylists)) if cols else []
+    if not pylists:
+        rows = []
+    return list(cols), rows
+
+
 def compare(spark_df, oracle_sql: str, sf_dir: str) -> dict:
     scols = [f.name for f in spark_df.schema.fields]
     srows = [tuple(r) for r in spark_df.collect()]
     con = duck_con(sf_dir)
-    res = con.execute(oracle_sql)
-    dcols = [d[0] for d in res.description]
-    drows = res.fetchall()
+    dcols, drows = _duck_typed_rows(con, oracle_sql)
     con.close()
 
     out = {
