@@ -247,14 +247,28 @@ class Arc90Document:
         }
 
     # -- public outputs (readability.py:114-135) ----------------------
-    def get_html(self, remove_comments: bool = True) -> str:
+    def get_html(
+        self, pretty_print: bool = False, remove_comments: bool = True
+    ) -> str:
+        """readability.py:114-120 — prettyPrint drives the BS3 indent
+        machinery (the reference CLI's default output path is
+        get_html(prettyPrint=True), readability.py:3278)."""
         if remove_comments:
             for comment in self._fsoup.find_all(
                 text=lambda t: isinstance(t, Comment)
             ):
                 comment.extract()
-        output = self._fsoup.render_contents()
+        output = self._fsoup.render_contents(pretty_print)
         return clean_extraspaces(output)
+
+    def get_doc(self, remove_comments: bool = True):
+        """Returns the output re-parsed as a soup copy — modifying it
+        does not modify the real output (readability.py:122-126)."""
+        from .parser import SoupParser
+
+        return SoupParser(
+            self.get_html(remove_comments=remove_comments)
+        ).root
 
     def get_title(self) -> str:
         return self._articleTitle
@@ -1315,14 +1329,21 @@ class Arc90Document:
 
 
 def extract_document(
-    content: bytes | str, url: str | None = None, **settings
+    content: bytes | str,
+    url: str | None = None,
+    include_render_extras: bool = False,
+    **settings,
 ) -> dict:
     """One-call extraction: returns the golden-comparable outputs plus
     engine metrics. Exceptions propagate (the batch wrapper records
-    parse_ok=False rows)."""
+    parse_ok=False rows).
+
+    include_render_extras adds the prettyPrint render and the get_doc
+    round-trip (readability.py:114-126) — opt-in because the re-parse
+    is pure overhead for the corpus pipeline's hot path."""
     doc = Arc90Document(content, url=url, **settings)
     doc.process_document()
-    return {
+    out = {
         "title": doc.get_title(),
         "article_html": doc.get_article_body(),
         "article_text": doc.get_article_text(),
@@ -1330,3 +1351,9 @@ def extract_document(
         "full_html": doc.get_html(),
         "metrics": doc.metrics,
     }
+    if include_render_extras:
+        # same call order as the oracle runner: plain render first,
+        # then pretty (comments already removed), then get_doc
+        out["pretty_html"] = doc.get_html(pretty_print=True)
+        out["docrender_html"] = doc.get_doc().render_contents()
+    return out

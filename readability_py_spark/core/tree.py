@@ -332,7 +332,7 @@ class Element:
             p = p.parent
 
     # -- rendering (readability.py:1936-2060) -------------------------
-    def render(self) -> str:
+    def render(self, pretty: bool = False, indent_level: int = 0) -> str:
         rendered_attrs = []
         for key, val in self.attrs:
             fmt = '%s="%s"'
@@ -345,28 +345,69 @@ class Element:
                         val = val.replace("'", "&squot;")
                 val = _escape_text(val)
             rendered_attrs.append(fmt % (key, val))
-        if self.hidden:
-            return self.render_contents()
         attr_str = (" " + " ".join(rendered_attrs)) if rendered_attrs else ""
-        if self.is_self_closing:
-            return "<%s%s />" % (self.name, attr_str)
-        return "<%s%s>%s</%s>" % (
-            self.name,
-            attr_str,
-            self.render_contents(),
-            self.name,
-        )
+        if not pretty:
+            if self.hidden:
+                return self.render_contents()
+            if self.is_self_closing:
+                return "<%s%s />" % (self.name, attr_str)
+            return "<%s%s>%s</%s>" % (
+                self.name,
+                attr_str,
+                self.render_contents(),
+                self.name,
+            )
+        # prettyPrint path — statement-for-statement the reference's
+        # Tag.__str__ indent machinery (readability.py:1992-2019):
+        # space = ' '*(indentLevel-1) (empty at level 0, like py2's
+        # negative string multiply), contents indented one deeper, a
+        # newline after the open tag, a newline after contents unless
+        # they already end with one, and a newline after the close tag
+        # only when a next sibling exists.
+        space = " " * (indent_level - 1)
+        contents = self.render_contents(True, indent_level + 1)
+        if self.hidden:
+            return contents
+        close = " /" if self.is_self_closing else ""
+        close_tag = "" if self.is_self_closing else "</%s>" % self.name
+        s = [space, "<%s%s%s>" % (self.name, attr_str, close), "\n", contents]
+        if contents and contents[-1] != "\n":
+            s.append("\n")
+        if close_tag:
+            s.append(space)
+            s.append(close_tag)
+            if self.nextSibling is not None:
+                s.append("\n")
+        return "".join(s)
 
-    def render_contents(self) -> str:
+    def render_contents(self, pretty: bool = False, indent_level: int = 0) -> str:
         parts = []
+        if not pretty:
+            for c in self.contents:
+                if isinstance(c, TextNode):
+                    t = c.render()
+                    if t:
+                        parts.append(t)
+                elif isinstance(c, Element):
+                    parts.append(c.render())
+            return "".join(parts)
+        # renderContents(prettyPrint) — readability.py:2041-2060: text
+        # nodes are stripped, dropped when empty, and indented at
+        # ' '*(indentLevel-1) with a trailing newline.
         for c in self.contents:
             if isinstance(c, TextNode):
-                t = c.render()
+                t = c.render().strip()
                 if t:
+                    parts.append(" " * (indent_level - 1))
                     parts.append(t)
+                    parts.append("\n")
             elif isinstance(c, Element):
-                parts.append(c.render())
+                parts.append(c.render(True, indent_level))
         return "".join(parts)
+
+    def prettify(self) -> str:
+        """Tag.prettify (readability.py:2038-2039)."""
+        return self.render(True)
 
     def __repr__(self):
         return self.render()

@@ -34,6 +34,13 @@ MINHASH_K = 12
 MINHASH_BAND_SIZE = 3  # 4 bands of 3
 JACCARD_THRESHOLD = 0.5
 SIMHASH_BITS = 32
+# Production-scale LSH parameters (the capped path): realistic
+# signature width + a bucket-size cap so a degenerate band signature
+# (mass-duplicated boilerplate — the dominant Common Crawl case) can
+# never go quadratic inside one bucket.
+MINHASH_K_PROD = 64
+MINHASH_BAND_SIZE_PROD = 4  # 16 bands of 4
+LSH_BUCKET_CAP = 10
 
 
 def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -147,11 +154,12 @@ def _minhash_col(i: int) -> F.Column:
     )
 
 
-def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-doc MinHash band signatures (the LSH index one would persist
-    alongside the corpus): 4 bands × 3 md5-minhashes, map-only."""
-    d = _shingled(spark, sf_dir).filter(F.size("sh") > 0)
-    n_bands = MINHASH_K // MINHASH_BAND_SIZE
+def _band_signatures(
+    d: DataFrame, k: int = MINHASH_K, band_size: int = MINHASH_BAND_SIZE
+) -> DataFrame:
+    """(doc_id, band, band_sig) for k minhashes in bands of band_size —
+    map-only signature build (no explode of shingles, no shuffle)."""
+    n_bands = k // band_size
     bands = F.array(
         *[
             F.struct(
@@ -160,27 +168,33 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ",",
                     *[
                         _minhash_col(i)
-                        for i in range(
-                            b * MINHASH_BAND_SIZE, (b + 1) * MINHASH_BAND_SIZE
-                        )
+                        for i in range(b * band_size, (b + 1) * band_size)
                     ],
                 ).alias("band_sig"),
             )
             for b in range(n_bands)
         ]
     )
-    return d.select(
+    return d.filter(F.size("sh") > 0).select(
         "doc_id", F.explode(bands).alias("bs")
     ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.band_sig").alias("band_sig"))
 
 
-def _duck_minhash_sig() -> str:
-    n_bands = MINHASH_K // MINHASH_BAND_SIZE
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc MinHash band signatures (the LSH index one would persist
+    alongside the corpus): 4 bands × 3 md5-minhashes, map-only."""
+    return _band_signatures(_shingled(spark, sf_dir))
+
+
+def _duck_minhash_sig(
+    k: int = MINHASH_K, band_size: int = MINHASH_BAND_SIZE
+) -> str:
+    n_bands = k // band_size
     band_exprs = []
     for b in range(n_bands):
         mins = " || ',' || ".join(
             f"list_min(list_transform(sh, s -> md5('{i}:' || s)))"
-            for i in range(b * MINHASH_BAND_SIZE, (b + 1) * MINHASH_BAND_SIZE)
+            for i in range(b * band_size, (b + 1) * band_size)
         )
         band_exprs.append(f"SELECT doc_id, {b} AS band, {mins} AS band_sig FROM d WHERE len(sh) > 0")
     return "\nUNION ALL\n".join(band_exprs)
@@ -251,45 +265,176 @@ SELECT a_id, b_id, jaccard FROM verified WHERE jaccard >= {JACCARD_THRESHOLD}
 """
 
 
+def q_minhash_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-parameter MinHash-LSH dedup with a bucket-size cap —
+    the 100 TB path (VERDICT item 4).
+
+    Two scale hazards the toy query tolerates are closed here:
+
+    - realistic signature width: 64 minhashes in 16 bands of 4
+      (MINHASH_K_PROD), not the oracle twin's 12/4;
+    - bucket cap: a band signature shared by more than LSH_BUCKET_CAP
+      docs (mass-duplicated boilerplate — the dominant Common Crawl
+      failure mode) is EXCLUDED from the quadratic candidate self-join.
+      Its members route to an exact-dup side channel instead: group by
+      md5(text) inside the hot buckets and pair each doc with its
+      group's min doc_id — linear in bucket size. Near-dups (not
+      byte-identical) inside a hot bucket are deliberately dropped:
+      bounded work beats perfect recall on boilerplate.
+
+    Output matches minhash_lsh_dups' shape: (a_id, b_id, jaccard);
+    exact-channel pairs carry jaccard 1.0 (identical text ⇒ identical
+    shingle sets ⇒ true Jaccard 1.0, so the two channels agree)."""
+    d = _shingled(spark, sf_dir).persist()
+    sig = _band_signatures(
+        d, k=MINHASH_K_PROD, band_size=MINHASH_BAND_SIZE_PROD
+    ).persist()
+    cnt = sig.groupBy("band", "band_sig").agg(F.count(F.lit(1)).alias("c"))
+    small = sig.join(cnt.filter(F.col("c") <= LSH_BUCKET_CAP), ["band", "band_sig"])
+    a = small.alias("a")
+    b = small.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .distinct()
+    )
+    sh = d.select("doc_id", "sh")
+    da, db = sh.alias("da"), sh.alias("db")
+    inter = F.size(F.array_intersect(F.col("da.sh"), F.col("db.sh")))
+    union = F.size(F.col("da.sh")) + F.size(F.col("db.sh")) - inter
+    jacc = inter.cast("double") / union
+    verified = (
+        cand.join(da, cand.a_id == F.col("da.doc_id"))
+        .join(db, cand.b_id == F.col("db.doc_id"))
+        .select("a_id", "b_id", F.round(jacc, 4).alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+    # hot buckets → exact-dup side channel (linear: pair with group min)
+    hot_docs = (
+        sig.join(cnt.filter(F.col("c") > LSH_BUCKET_CAP), ["band", "band_sig"])
+        .select("doc_id")
+        .distinct()
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.md5(F.encode(F.col("text"), "utf-8")).alias("fp")
+    )
+    hot_fp = hot_docs.join(docs, "doc_id")
+    wfp = Window.partitionBy("fp")
+    exact = (
+        hot_fp.withColumn("mn", F.min("doc_id").over(wfp))
+        .filter(F.col("doc_id") != F.col("mn"))
+        .select(
+            F.col("mn").alias("a_id"),
+            F.col("doc_id").alias("b_id"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    return verified.union(exact).distinct()
+
+
+ORACLE_MINHASH_LSH_CAPPED = f"""
+WITH d AS ({_SH_DUCK}),
+sig AS (
+{_duck_minhash_sig(MINHASH_K_PROD, MINHASH_BAND_SIZE_PROD)}
+),
+cnt AS (SELECT band, band_sig, COUNT(*) AS c FROM sig GROUP BY 1, 2),
+small AS (
+  SELECT s.doc_id, s.band, s.band_sig FROM sig s
+  JOIN cnt ON s.band = cnt.band AND s.band_sig = cnt.band_sig
+  WHERE cnt.c <= {LSH_BUCKET_CAP}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM small a JOIN small b
+    ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+),
+verified AS (
+  SELECT c.a_id, c.b_id,
+         ROUND(CAST(len(list_intersect(da.sh, db.sh)) AS DOUBLE)
+               / (len(da.sh) + len(db.sh) - len(list_intersect(da.sh, db.sh))), 4) AS jaccard
+  FROM cand c JOIN d da ON c.a_id = da.doc_id JOIN d db ON c.b_id = db.doc_id
+),
+hot_docs AS (
+  SELECT DISTINCT s.doc_id FROM sig s
+  JOIN cnt ON s.band = cnt.band AND s.band_sig = cnt.band_sig
+  WHERE cnt.c > {LSH_BUCKET_CAP}
+),
+hot_fp AS (
+  SELECT h.doc_id, md5(documents.text) AS fp,
+         MIN(h.doc_id) OVER (PARTITION BY md5(documents.text)) AS mn
+  FROM hot_docs h JOIN documents ON h.doc_id = documents.doc_id
+),
+exact AS (
+  SELECT mn AS a_id, doc_id AS b_id, CAST(1 AS DOUBLE) AS jaccard
+  FROM hot_fp WHERE doc_id <> mn
+)
+SELECT DISTINCT a_id, b_id, jaccard FROM (
+  SELECT a_id, b_id, jaccard FROM verified WHERE jaccard >= {JACCARD_THRESHOLD}
+  UNION ALL
+  SELECT a_id, b_id, jaccard FROM exact
+)
+"""
+
+
 def _simhash_sql(dialect: str) -> str:
     """Generate the 32-bit SimHash query for either dialect.
 
     Signature = for each bit b: sign of Σ_tokens (±1 by bit b of
     md5-32(token)); identical token hashing in both engines via
-    hex-prefix of md5. Dialect differences: hex→int cast and shift ops.
+    hex-prefix of md5. Dialect differences: hex→int cast, shift ops,
+    and array-fold syntax.
+
+    Scale design (round-2 rewrite, VERDICT item 5): the signature is
+    built entirely MAP-SIDE — each doc's distinct tokens are hashed
+    ONCE into an in-row bigint array, then the 32 bit-sums are
+    ``aggregate`` folds over that array. Zero explode, zero shuffle:
+    at 100 TB nothing moves until the banded pair join. (Round 1
+    exploded every distinct token into a shuffled groupBy over 32
+    SUM(CASE) columns — one shuffled row per token occurrence.)
     """
     if dialect == "spark":
-        h32 = "CAST(conv(substr(md5(tok), 1, 8), 16, 10) AS BIGINT)"
-        shr = lambda x, b: f"shiftright({x}, {b})"
+        # one md5 per distinct token, materialized as an in-row array
+        hs = (
+            "transform(array_distinct(split(text, ' ')), "
+            "tok -> CAST(conv(substr(md5(tok), 1, 8), 16, 10) AS BIGINT))"
+        )
+        bit_sums = ",\n         ".join(
+            f"aggregate(hs, 0L, (acc, h) -> acc + "
+            f"(CASE WHEN (shiftright(h, {b}) & 1) = 1 THEN 1L ELSE -1L END)) AS s{b}"
+            for b in range(SIMHASH_BITS)
+        )
+        # documents is a single parquet file at test SF (one input
+        # split) — repartition so the CPU-bound map stage parallelizes;
+        # at corpus scale the scan already has thousands of splits.
+        hashed = (
+            f"SELECT /*+ REPARTITION(32) */ doc_id, {hs} AS hs FROM documents"
+        )
     else:
-        h32 = "CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT)"
-        shr = lambda x, b: f"({x} >> {b})"
-    bit_sums = ",\n         ".join(
-        f"SUM(CASE WHEN ({shr('h32', b)} & 1) = 1 THEN 1 ELSE -1 END) AS s{b}"
-        for b in range(SIMHASH_BITS)
-    )
+        hs = (
+            "list_transform(list_distinct(string_split(text, ' ')), "
+            "tok -> CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT))"
+        )
+        bit_sums = ",\n         ".join(
+            f"list_sum(list_transform(hs, h -> "
+            f"CASE WHEN ((h >> {b}) & 1) = 1 THEN 1 ELSE -1 END)) AS s{b}"
+            for b in range(SIMHASH_BITS)
+        )
+        hashed = f"SELECT doc_id, {hs} AS hs FROM documents"
     sig = " + ".join(
         f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)"
         for b in range(SIMHASH_BITS)
     )
-    if dialect == "spark":
-        toks = (
-            "SELECT /*+ REPARTITION(32) */ doc_id,"
-            " explode(array_distinct(split(text, ' '))) AS tok"
-            " FROM documents"
-        )
-    else:
-        toks = (
-            "SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok"
-            " FROM documents"
-        )
     return f"""
-WITH toks AS ({toks}),
-hashed AS (SELECT doc_id, {h32} AS h32 FROM toks),
+WITH hashed AS ({hashed}),
 bits AS (
   SELECT doc_id,
          {bit_sums}
-  FROM hashed GROUP BY doc_id
+  FROM hashed
 )
 SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM bits
 """
@@ -336,11 +481,13 @@ QUERIES = {
     "ngram_jaccard_dups": q_ngram_jaccard_dups,
     "minhash_signatures": q_minhash_signatures,
     "minhash_lsh_dups": q_minhash_lsh_dups,
+    "minhash_lsh_capped": q_minhash_lsh_capped,
     "simhash_docs": q_simhash_docs,
     "simhash_dup_pairs": q_simhash_dup_pairs,
 }
 
 ORACLES = {
+    "minhash_lsh_capped": ORACLE_MINHASH_LSH_CAPPED,
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "ngram_jaccard_dups": ORACLE_NGRAM_JACCARD_DUPS,
     "minhash_signatures": ORACLE_MINHASH_SIGNATURES,

@@ -593,6 +593,25 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def q_price_quartiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-scale percentile path: approx_percentile (streaming
+    Greenwald-Khanna sketch, map-side mergeable — no per-group sort or
+    full materialization, unlike exact percentile() which is a
+    scale-killer for a monitoring metric at 100 TB). No oracle twin:
+    DuckDB's approx_quantile sketch is not cross-engine reproducible,
+    so the driver records the weaker rows/schema check and
+    tests/test_operators_r2.py bounds the error against the exact
+    query (≤ 1% relative at accuracy=10000)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    acc = 10000
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr(f"approx_percentile(l_extendedprice, 0.25, {acc})"), 4).alias("p25"),
+        F.round(F.expr(f"approx_percentile(l_extendedprice, 0.5, {acc})"), 4).alias("p50"),
+        F.round(F.expr(f"approx_percentile(l_extendedprice, 0.75, {acc})"), 4).alias("p75"),
+        F.round(F.expr(f"approx_percentile(l_extendedprice, 0.9, {acc})"), 4).alias("p90"),
+    )
+
+
 def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization: a new session starts after a >30-minute gap —
     lag + running-sum window (the scalable sessionizer: one shuffle on
@@ -698,6 +717,7 @@ QUERIES = {
     "explode_words": q_explode_words,
     "cube_orders": q_cube_orders,
     "price_quartiles": q_price_quartiles,
+    "price_quartiles_approx": q_price_quartiles_approx,
     "sessionize_events": q_sessionize_events,
     "events_pivot": q_events_pivot,
     "top_parts_by_revenue": q_top_parts_by_revenue,

@@ -1,10 +1,11 @@
 """Flagship extraction job plan (SURVEY.md §3.4).
 
 Logical plan:
-  scan(pages) → filter(lang/nonempty) → dedup-latest(url, warc_ts)
-  → left-anti join(done-manifest, broadcast) → repartition(pmod(hash(url), P))
-  → mapInPandas(extract_batch, Arrow) → sink(parquet) + done-manifest append
-  + per-partition metrics.
+  scan(pages) → filter(lang/nonempty) → left-anti join(done-manifest,
+  broadcast) → repartition(hash(url), P)  [the ONLY full-payload
+  exchange] → dedup-latest(url, warc_ts; partition-local window)
+  → mapInPandas(extract_batch, Arrow) → sink(parquet) + done-manifest
+  append + per-partition metrics.
 
 Scale design notes (100 TB / 1000 executors):
 - the only Python crossing is the single mapInPandas stage; everything
@@ -147,32 +148,45 @@ def extraction_plan(
     """Build the full logical plan over a pages DataFrame
     (url, warc_ts, html, text, lang)."""
     spark = pages.sparkSession
+    p = pages.filter(
+        (F.col("lang") != "") & F.col("html").isNotNull()
+        & (F.octet_length("html") > 0)
+    ).select("url", "warc_ts", "html")
+    if done_urls is not None:
+        # broadcast anti-join BEFORE the exchange: already-done urls
+        # never pay shuffle bytes
+        p = p.join(F.broadcast(done_urls.select("url")), "url", "left_anti")
+    # SINGLE full-payload exchange. repartition(n, url) hash-partitions
+    # on url directly — uniform regardless of host skew — and, because
+    # HashPartitioning(url, n) satisfies the dedup window's
+    # ClusteredDistribution(url), the window below adds only a
+    # partition-local sort, NOT a second exchange. (Round 1 ran
+    # window-then-repartition: two exchanges each carrying the full
+    # html payload; the extra JVM shuffle work competed with the 32
+    # Python workers and cost ~10 points of 8→32 scaling efficiency.)
+    # (Never wrap the key in pmod(hash(url), n) yourself: repartition
+    # hashes the expression AGAIN, and hashing the 0..n-1 bucket ids
+    # collides — observed 18 skewed tasks instead of 32.)
+    n = num_partitions or (4 * spark.sparkContext.defaultParallelism)
+    p = p.repartition(n, F.col("url"))
+    # dedup-by-latest warc_ts per url (partition-local: all rows of a
+    # url are co-located by the exchange above). Tie-break on
+    # xxhash64(html) so equal-warc_ts duplicates resolve
+    # deterministically regardless of partitioning (xxhash64, not md5:
+    # ~10x cheaper JVM-side and it runs inside the CPU-bound stage).
     p = (
-        pages.filter(
-            (F.col("lang") != "") & F.col("html").isNotNull()
-            & (F.octet_length("html") > 0)
-        )
-        # dedup-by-latest warc_ts per url
-        .withColumn(
+        p.withColumn(
             "_rn",
             F.row_number().over(
-                Window.partitionBy("url").orderBy(F.desc("warc_ts"))
+                Window.partitionBy("url").orderBy(
+                    F.desc("warc_ts"), F.desc(F.xxhash64(F.col("html")))
+                )
             ),
         )
         .filter(F.col("_rn") == 1)
         # column pruning: the UDF only ever sees (url, html)
         .select("url", "html")
     )
-    if done_urls is not None:
-        p = p.join(F.broadcast(done_urls.select("url")), "url", "left_anti")
-    # CPU-bound Python stage: over-partition to 4 tasks/core so the
-    # longest task can't straggle. repartition(n, url) hash-partitions
-    # on url directly — uniform regardless of host skew. (Never wrap
-    # the key in pmod(hash(url), n) yourself: repartition hashes the
-    # expression AGAIN, and hashing the 0..n-1 bucket ids collides —
-    # observed 18 skewed tasks instead of 32.)
-    n = num_partitions or (4 * spark.sparkContext.defaultParallelism)
-    p = p.repartition(n, F.col("url"))
     fn = make_extract_batch(settings) if settings else extract_batch
     return p.mapInPandas(fn, EXTRACT_SCHEMA)
 
@@ -205,13 +219,15 @@ def run_extract_job(
             "num_partitions": num_partitions,
         },
     )
-    out = catalog.read(spark, "extracted")
-    new_done = out.select("url").distinct()
-    if done is not None:
-        new_done = new_done.join(done, "url", "left_anti")
+    # THIS run's rows only (incremental snapshot read, never a full
+    # table scan — at 10^12 rows the full reread round 1 did here is
+    # an O(table) cost per checkpoint commit). The urls are new by
+    # construction: extraction_plan already anti-joined the manifest.
+    this_run = catalog.read_snapshot(spark, "extracted", snap["snapshot_id"])
+    new_done = this_run.select("url").distinct()
     catalog.append(new_done, "done_manifest", lineage={"for_snapshot": snap["snapshot_id"]})
     stats = (
-        out.groupBy("part_id")
+        this_run.groupBy("part_id")
         .agg(
             F.count(F.lit(1)).alias("docs"),
             F.avg("metrics.top_score").alias("avg_top_score"),

@@ -2,13 +2,29 @@
 
 The north rule targets Iceberg tables; this container has no Iceberg
 runtime jar and no network, so the catalog is a faithful local stand-in
-over parquet: every append produces a numbered snapshot record (row
-count, wall time, parent snapshot, free-form lineage), and reads go
-through the latest snapshot's file set. On a real cluster the same
-call sites map 1:1 to Iceberg:
+over parquet. Like Iceberg, a table is a log of committed snapshots,
+each owning its data files:
+
+    <warehouse>/<table>/_snapshots.jsonl     the commit log (one line
+                                             per committed snapshot)
+    <warehouse>/<table>/data/<snapshot_id>/  that snapshot's parquet
+
+Reads union ONLY committed snapshots' directories — a crash after the
+parquet write but before the commit-log append leaves an orphan dir
+that readers never see (Iceberg's atomic-commit property), so a resumed
+extraction job cannot double-count half-written output.
+
+Scale discipline (round-2 fix, VERDICT item 7): ``append`` counts only
+the rows of the snapshot it just wrote (parquet footer metadata — no
+data scan) and derives ``total_rows`` as parent_total + added_rows;
+round 1 recounted the WHOLE table per append, O(table) per checkpoint
+commit — unacceptable at 10^12 rows.
+
+On a real cluster the same call sites map 1:1 to Iceberg:
 
     catalog.append(df, "extracted", lineage=...)   →  df.writeTo("cat.db.extracted").append()
     catalog.snapshots("extracted")                 →  SELECT * FROM cat.db.extracted.snapshots
+    catalog.read_snapshot(spark, t, id)            →  incremental read of snapshot id
     resume anti-join on the url manifest           →  incremental read from snapshot N
 
 and the SparkSession confs are:
@@ -38,36 +54,60 @@ class LocalTableCatalog:
     def _snap_log(self, name: str) -> str:
         return os.path.join(self._table_dir(name), "_snapshots.jsonl")
 
+    def _snap_dir(self, name: str, snap_id: str) -> str:
+        return os.path.join(self._table_dir(name), "data", snap_id)
+
     def append(
         self, df: DataFrame, name: str, lineage: dict | None = None
     ) -> dict:
-        """Append df as a new snapshot; returns the snapshot record."""
-        tdir = self._table_dir(name)
-        data_dir = os.path.join(tdir, "data")
+        """Append df as a new snapshot; returns the snapshot record.
+
+        The write lands in a snapshot-private directory; the snapshot
+        becomes visible only when its record reaches _snapshots.jsonl
+        (the commit point). added_rows is counted from the new files'
+        parquet footers only — O(snapshot), never O(table)."""
         snap_id = uuid.uuid4().hex[:16]
-        df.write.mode("append").parquet(data_dir)
-        n_rows = df.sparkSession.read.parquet(data_dir).count()
-        parent = None
+        sdir = self._snap_dir(name, snap_id)
+        df.write.mode("error").parquet(sdir)
+        spark = df.sparkSession
+        added = spark.read.parquet(sdir).count()  # footer metadata only
         snaps = self.snapshots(name)
-        if snaps:
-            parent = snaps[-1]["snapshot_id"]
+        parent = snaps[-1]["snapshot_id"] if snaps else None
+        prev_total = snaps[-1]["total_rows"] if snaps else 0
         rec = {
             "snapshot_id": snap_id,
             "parent_id": parent,
             "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
-            "total_rows": n_rows,
+            "added_rows": added,
+            "total_rows": prev_total + added,
+            "data_dir": os.path.join("data", snap_id),
             "lineage": lineage or {},
         }
-        os.makedirs(tdir, exist_ok=True)
         with open(self._snap_log(name), "a") as fh:
             fh.write(json.dumps(rec) + "\n")
         return rec
 
     def read(self, spark: SparkSession, name: str) -> DataFrame:
-        return spark.read.parquet(os.path.join(self._table_dir(name), "data"))
+        """Union of all COMMITTED snapshots (orphan dirs from crashed
+        writes are invisible — they never reached the commit log)."""
+        dirs = [
+            self._snap_dir(name, s["snapshot_id"]) for s in self.snapshots(name)
+        ]
+        if not dirs:
+            raise FileNotFoundError(f"table {name} has no committed snapshots")
+        return spark.read.parquet(*dirs)
+
+    def read_snapshot(
+        self, spark: SparkSession, name: str, snap_id: str
+    ) -> DataFrame:
+        """Incremental read: exactly one committed snapshot's rows."""
+        committed = {s["snapshot_id"] for s in self.snapshots(name)}
+        if snap_id not in committed:
+            raise KeyError(f"snapshot {snap_id} not committed for {name}")
+        return spark.read.parquet(self._snap_dir(name, snap_id))
 
     def exists(self, name: str) -> bool:
-        return os.path.exists(os.path.join(self._table_dir(name), "data"))
+        return bool(self.snapshots(name))
 
     def snapshots(self, name: str) -> list[dict]:
         path = self._snap_log(name)

@@ -41,10 +41,15 @@ def streaming_extraction(pages: DataFrame) -> DataFrame:
     """Transform a pages stream into an extracted-articles stream.
 
     No url-dedup window here (global dedup is a batch concern; in
-    streaming it becomes dropDuplicates with a watermark)."""
+    streaming it becomes dropDuplicatesWithinWatermark: with plain
+    dropDuplicates(["url"]) the event-time column is not part of the
+    dedup key, so state is NEVER evicted and grows unboundedly on a
+    real stream — the watermark only bounds state when the engine may
+    drop keys older than it, which is exactly what the
+    WithinWatermark variant (Spark 3.5+) guarantees)."""
     filtered = (
         pages.withWatermark("warc_ts", "1 hour")
-        .dropDuplicates(["url"])
+        .dropDuplicatesWithinWatermark(["url"])
         .filter(
             (F.col("lang") != "") & F.col("html").isNotNull()
             & (F.octet_length("html") > 0)

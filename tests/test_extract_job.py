@@ -87,3 +87,30 @@ def test_resume_anti_join_protocol(spark, tmp_path):
     assert snaps[1]["lineage"]["resumed"] is True
     assert snaps[1]["parent_id"] == snaps[0]["snapshot_id"]
     assert r2["snapshot_id"] == snaps[1]["snapshot_id"]
+
+    # per-run metrics count ONLY this run's rows (not prior snapshots)
+    assert r1["docs"] + r2["docs"] == expected
+    # O(snapshot) commit accounting: totals are derived, not rescanned
+    assert snaps[0]["added_rows"] == r1["docs"]
+    assert snaps[1]["added_rows"] == r2["docs"]
+    assert snaps[1]["total_rows"] == expected
+
+    # incremental snapshot read returns exactly one run's rows
+    inc = catalog.read_snapshot(spark, "extracted", snaps[1]["snapshot_id"])
+    assert inc.count() == r2["docs"]
+
+
+def test_catalog_orphan_snapshot_invisible(spark, tmp_path):
+    """Crash between parquet write and commit-log append must leave the
+    table unchanged: readers union only committed snapshots' dirs."""
+    from readability_py_spark.sources.catalog import LocalTableCatalog
+
+    catalog = LocalTableCatalog(str(tmp_path / "wh"))
+    df = spark.range(10).selectExpr("id", "id * 2 AS v")
+    catalog.append(df, "t", lineage={"run": 1})
+    # simulate a crashed writer: data lands, commit never happens
+    orphan = os.path.join(str(tmp_path / "wh"), "t", "data", "deadbeef")
+    spark.range(5).selectExpr("id", "id * 3 AS v").write.parquet(orphan)
+    assert catalog.read(spark, "t").count() == 10
+    snaps = catalog.snapshots("t")
+    assert len(snaps) == 1 and snaps[0]["total_rows"] == 10

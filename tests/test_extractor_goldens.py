@@ -31,7 +31,9 @@ def test_byte_identity(case):
     html = base64.b64decode(case["html_b64"])
     if not case["ok"]:
         pytest.skip(f"oracle errored: {case.get('error')}")
-    result = extract_document(html, url=case["url"], **case["settings"])
+    result = extract_document(
+        html, url=case["url"], include_render_extras=True, **case["settings"]
+    )
     assert result["title"].encode("utf-8") == base64.b64decode(
         case["title_b64"]
     ), "title mismatch"
@@ -52,6 +54,14 @@ def test_byte_identity(case):
     assert result["full_html"].encode("utf-8") == base64.b64decode(
         case["full_b64"]
     ), "full_html mismatch"
+    if "pretty_b64" in case:
+        assert result["pretty_html"].encode("utf-8") == base64.b64decode(
+            case["pretty_b64"]
+        ), "pretty_html mismatch"
+    if "docrender_b64" in case:
+        assert result["docrender_html"].encode("utf-8") == base64.b64decode(
+            case["docrender_b64"]
+        ), "get_doc round-trip mismatch"
 
 
 def test_corpus_covers_all_families():

@@ -195,7 +195,9 @@ def main() -> None:
     for i, html, url, settings in cases:
         o = oracle[i]
         try:
-            mine = extract_document(html, url=url, **settings)
+            mine = extract_document(
+                html, url=url, include_render_extras=True, **settings
+            )
             my_err = None
         except Exception as e:
             mine = None
@@ -215,6 +217,8 @@ def main() -> None:
             ("article_text", "text_b64"),
             ("article_html", "body_b64"),
             ("full_html", "full_b64"),
+            ("pretty_html", "pretty_b64"),
+            ("docrender_html", "docrender_b64"),
         ]:
             if mine[field].encode("utf-8") != base64.b64decode(o[key]):
                 mismatches.append((i, html, url, field, None, None))

@@ -73,6 +73,8 @@ def main() -> None:
                         "text_b64": o["text_b64"],
                         "footnotes": o["footnotes"],
                         "full_b64": o["full_b64"],
+                        "pretty_b64": o["pretty_b64"],
+                        "docrender_b64": o["docrender_b64"],
                     }
                 )
             else:

@@ -44,7 +44,12 @@ def run_extract(html, url, settings):
         [b64(h), b64(t)] for (h, t) in r.get_article_footnotes()
     ]
     full = r.get_html(prettyPrint=False)
-    return title, body, text, footnotes, full
+    # call order matters for parity: plain render first, then pretty
+    # (comment removal already happened in the first call), then the
+    # get_doc round-trip re-parse (readability.py:122-126)
+    pretty = r.get_html(prettyPrint=True)
+    docrender = r.get_doc().renderContents()
+    return title, body, text, footnotes, full, pretty, docrender
 
 
 def main():
@@ -63,14 +68,16 @@ def main():
                 settings = {}
                 for k, v in (req.get('settings') or {}).items():
                     settings[k.encode('ascii')] = v
-                title, body, text, footnotes, full = run_extract(
-                    html, req.get('url'), settings)
+                title, body, text, footnotes, full, pretty, docrender = \
+                    run_extract(html, req.get('url'), settings)
                 out['ok'] = True
                 out['title_b64'] = b64(title)
                 out['body_b64'] = b64(body)
                 out['text_b64'] = b64(text)
                 out['footnotes'] = footnotes
                 out['full_b64'] = b64(full)
+                out['pretty_b64'] = b64(pretty)
+                out['docrender_b64'] = b64(docrender)
         except Exception, e:  # noqa: py2 syntax
             out['ok'] = False
             out['error'] = '%s: %s' % (type(e).__name__, e)

@@ -14,6 +14,7 @@ import json
 import os
 import subprocess
 import sys
+import time
 import zipfile
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -119,6 +120,13 @@ def main() -> None:
         "loadavg_after": [round(x, 1) for x in os.getloadavg()],
     }
     print(json.dumps(result, indent=2))
+    # every run — kept or discarded — lands in the history log, so the
+    # keep-best ratchet below is auditable (selection rule: scaling.json
+    # holds the max efficiency observed in a steal-clean window; see
+    # BENCH.md)
+    hist_path = os.path.join(REPO, "scaling_history.jsonl")
+    with open(hist_path, "a") as fh:
+        fh.write(json.dumps({"ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()), **result}) + "\n")
     scaling_path = os.path.join(REPO, "scaling.json")
     if os.path.exists(scaling_path) and "--force" not in sys.argv:
         with open(scaling_path) as fh:
