@@ -42,7 +42,96 @@ def _escape_text(s: str) -> str:
     return _BARE_AMP_OR_BRACKET.sub(lambda m: _ESCAPES[m.group(0)[0]], s)
 
 
-class TextNode(str):
+class _DirectionalFinds:
+    """Directional search API shared by text nodes and tags —
+    findNext/findPrevious/findNextSibling/… (readability.py:1507-1579).
+
+    The reference walks its incrementally-maintained ``next``/
+    ``previous`` parse chains; here document order is *derived* from
+    parent+contents on each call (same convention as the rest of this
+    tree), which is observationally equivalent for every structurally
+    consistent tree. Generators start one step away from self, exactly
+    like the reference's nextGenerator/previousGenerator
+    (readability.py:1626-1654)."""
+
+    __slots__ = ()  # keep Element instances dict-free (hot path)
+
+    # -- document-order neighbours (derived next/previous chain) ----
+    @property
+    def next(self):
+        return _doc_next(self)
+
+    @property
+    def previous(self):
+        return _doc_previous(self)
+
+    def _walk(self, step):
+        node = step(self)
+        while node is not None:
+            yield node
+            node = step(node)
+
+    def _find_along(self, gen, name, attrs, text, limit):
+        results = []
+        for node in gen:
+            if _node_matches(node, name, attrs, text):
+                results.append(node)
+                if limit and len(results) >= limit:
+                    break
+        return results
+
+    def find_all_next(self, name=None, attrs=None, text=None, limit=None):
+        return self._find_along(self._walk(_doc_next), name, attrs, text, limit)
+
+    def find_next(self, name=None, attrs=None, text=None):
+        r = self.find_all_next(name, attrs, text, limit=1)
+        return r[0] if r else None
+
+    def find_next_siblings(self, name=None, attrs=None, text=None, limit=None):
+        return self._find_along(self._walk(_next_sibling), name, attrs, text, limit)
+
+    def find_next_sibling(self, name=None, attrs=None, text=None):
+        r = self.find_next_siblings(name, attrs, text, limit=1)
+        return r[0] if r else None
+
+    def find_all_previous(self, name=None, attrs=None, text=None, limit=None):
+        return self._find_along(self._walk(_doc_previous), name, attrs, text, limit)
+
+    def find_previous(self, name=None, attrs=None, text=None):
+        r = self.find_all_previous(name, attrs, text, limit=1)
+        return r[0] if r else None
+
+    def find_previous_siblings(self, name=None, attrs=None, text=None, limit=None):
+        return self._find_along(self._walk(_prev_sibling), name, attrs, text, limit)
+
+    def find_previous_sibling(self, name=None, attrs=None, text=None):
+        r = self.find_previous_siblings(name, attrs, text, limit=1)
+        return r[0] if r else None
+
+    def find_parents(self, name=None, attrs=None, limit=None):
+        return self._find_along(
+            self._walk(lambda n: getattr(n, "parent", None)),
+            name, attrs, None, limit,
+        )
+
+    def find_parent(self, name=None, attrs=None):
+        r = self.find_parents(name, attrs, limit=1)
+        return r[0] if r else None
+
+    # camelCase aliases (the reference's public spelling)
+    findNext = find_next
+    findAllNext = find_all_next
+    findNextSibling = find_next_sibling
+    findNextSiblings = find_next_siblings
+    findPrevious = find_previous
+    findAllPrevious = find_all_previous
+    findPreviousSibling = find_previous_sibling
+    findPreviousSiblings = find_previous_siblings
+    findParent = find_parent
+    findParents = find_parents
+
+
+class TextNode(str, _DirectionalFinds):
     """A text node; a str with tree links (NavigableString analogue)."""
 
     parent: "Element | None"
@@ -107,7 +196,7 @@ def mutation_epoch() -> int:
     return _EPOCH[0]
 
 
-class Element:
+class Element(_DirectionalFinds):
     """A tag node (Tag analogue)."""
 
     __slots__ = (
@@ -419,6 +508,42 @@ class Element:
 # -- helpers -----------------------------------------------------------
 
 
+def _last_recursive_child(node):
+    """readability.py:1436-1441."""
+    last = node
+    while isinstance(last, Element) and last.contents:
+        last = last.contents[-1]
+    return last
+
+
+def _doc_next(node):
+    """Document-order successor (the reference's ``next`` chain)."""
+    if isinstance(node, Element) and node.contents:
+        return node.contents[0]
+    while node is not None:
+        ns = _next_sibling(node)
+        if ns is not None:
+            return ns
+        node = getattr(node, "parent", None)
+    return None
+
+
+def _doc_previous(node):
+    """Document-order predecessor (the reference's ``previous`` chain).
+
+    The hidden soup root never entered the parse chain, so the chain
+    ends at the first real element (BS3's html.previous is None even
+    though html.parent is the soup) — while parentGenerator DOES yield
+    the root."""
+    ps = _prev_sibling(node)
+    if ps is not None:
+        return _last_recursive_child(ps)
+    p = getattr(node, "parent", None)
+    if p is not None and p.hidden:
+        return None
+    return p
+
+
 def _detach(node) -> None:
     _EPOCH[0] += 1
     p = getattr(node, "parent", None)
@@ -466,6 +591,37 @@ def _prev_sibling(node):
     return None
 
 
+def match_css_class(name: str):
+    """Build a RE matching the given CSS class (readability.py:1347-1349)."""
+    return re.compile(r"(^|.*\s)%s($|\s)" % name)
+
+
+class SoupStrainer:
+    """Reusable match criteria object (readability.py:2129-2247) for
+    the argument shapes BS3 supports: tag name (str/list/regex/callable
+    /True), attrs dict (str/regex/list/callable/True values), a bare
+    attrs *string* meaning a CSS-class word match, kwargs folded into
+    attrs, and text matchers. Pass one as ``name`` to any find method."""
+
+    def __init__(self, name=None, attrs=None, text=None, **kwargs):
+        self.name = name
+        if isinstance(attrs, str):
+            kwargs["class"] = match_css_class(attrs)
+            attrs = None
+        if kwargs:
+            attrs = {**(attrs or {}), **kwargs}
+        self.attrs = attrs or {}
+        self.text = text
+
+    def __str__(self):
+        return self.text if self.text else "%s|%s" % (self.name, self.attrs)
+
+    def matches(self, node) -> bool:
+        return _node_matches(
+            node, self.name, self.attrs or None, self.text
+        )
+
+
 def _matches_value(markup, match_against):
     """SoupStrainer._matches (readability.py:2217-2247) for the value
     shapes used: True, callable, regex, list, dict, str."""
@@ -483,6 +639,10 @@ def _matches_value(markup, match_against):
 
 
 def _node_matches(node, name, attrs, text):
+    if isinstance(name, SoupStrainer):
+        # a strainer passed as `name` carries all criteria itself
+        # (readability.py:1593-1595)
+        return name.matches(node)
     if text is not None:
         if not isinstance(node, TextNode):
             return False
