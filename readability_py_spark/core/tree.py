@@ -383,31 +383,64 @@ class Element(_DirectionalFinds):
         """Match semantics of findAll/SoupStrainer
         (readability.py:2075-2089, 2129-2247) for the argument shapes
         the pipeline uses: tag-name str, list of names, dict of names,
-        True, callables, and attrs dicts with str/bool values."""
-        gen = self.descendants() if recursive else iter(self.contents)
+        True, callables, and attrs dicts with str/bool values.
+
+        The preorder walk is inlined with the match test (instead of
+        materializing the whole subtree via descendants() first):
+        allocations drop from O(subtree) per call to O(matches), and
+        ``limit`` (thus ``find``) stops the walk at the first hit —
+        both matter because the extractor is memory-bandwidth-bound at
+        high core counts, and find/find_all dominate its allocations."""
+        if not recursive:
+            results = []
+            for node in list(self.contents):
+                if _node_matches(node, name, attrs, text):
+                    results.append(node)
+                    if limit and len(results) >= limit:
+                        break
+            return results
         results = []
+        append = results.append
+        stack = list(reversed(self.contents))
+        pop = stack.pop
+        push = stack.extend
         # fast paths for the dominant call shapes (same trick as the
         # reference's _findAll shortcuts, readability.py:1593-1603)
         if attrs is None and text is None and limit is None:
             if isinstance(name, str):
-                return [
-                    n
-                    for n in gen
-                    if isinstance(n, Element) and n.name == name
-                ]
+                while stack:
+                    node = pop()
+                    if node.__class__ is Element:
+                        if node.name == name:
+                            append(node)
+                        if node.contents:
+                            push(reversed(node.contents))
+                return results
             if name is True:
-                return [n for n in gen if isinstance(n, Element)]
+                while stack:
+                    node = pop()
+                    if node.__class__ is Element:
+                        append(node)
+                        if node.contents:
+                            push(reversed(node.contents))
+                return results
             if isinstance(name, (list, tuple, set, frozenset, dict)):
-                return [
-                    n
-                    for n in gen
-                    if isinstance(n, Element) and n.name in name
-                ]
-        for node in gen:
+                while stack:
+                    node = pop()
+                    if node.__class__ is Element:
+                        if node.name in name:
+                            append(node)
+                        if node.contents:
+                            push(reversed(node.contents))
+                return results
+        while stack:
+            node = pop()
             if _node_matches(node, name, attrs, text):
-                results.append(node)
+                append(node)
                 if limit and len(results) >= limit:
                     break
+            if node.__class__ is Element and node.contents:
+                push(reversed(node.contents))
         return results
 
     def find(self, name=None, attrs=None, recursive=True, text=None):
