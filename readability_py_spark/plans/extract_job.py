@@ -2,10 +2,10 @@
 
 Logical plan:
   scan(pages) → filter(lang/nonempty) → left-anti join(done-manifest,
-  broadcast) → dedup-latest(url, warc_ts) as groupBy(url).max_by —
-  partial agg map-side kills duplicate payloads BEFORE the single
-  hash(url) exchange → mapInPandas(extract_batch, Arrow) →
-  sink(parquet) + done-manifest append + per-partition metrics.
+  broadcast) → dedup-latest(url, warc_ts) over a SINGLE hash(url)
+  exchange (window or max_by-agg strategy, see extraction_plan) →
+  mapInPandas(extract_batch, Arrow) → sink(parquet) + done-manifest
+  append + per-partition metrics.
 
 Scale design notes (100 TB / 1000 executors):
 - the only Python crossing is the single mapInPandas stage; everything
@@ -144,9 +144,36 @@ def extraction_plan(
     done_urls: DataFrame | None = None,
     num_partitions: int | None = None,
     settings: dict | None = None,
+    dedup: str = "window",
 ) -> DataFrame:
     """Build the full logical plan over a pages DataFrame
-    (url, warc_ts, html, text, lang)."""
+    (url, warc_ts, html, text, lang).
+
+    ``dedup`` picks the dedup-latest strategy — both are a SINGLE
+    full-payload exchange; they differ in where duplicate payloads die:
+
+    - ``"window"`` (default): repartition(n, url) [REPARTITION_BY_NUM —
+      exempt from AQE coalescing, so the CPU-bound UDF stage keeps n
+      perfectly even tasks] → partition-local row_number window (the
+      hash partitioning satisfies the window's distribution → no
+      second exchange). Duplicates cross the wire. Best when dup rate
+      is low — measured fastest at both 8 and 32 cores on the bench
+      corpus (0% dups): the agg variant cost +23%@8 / +80%@32 there,
+      the latter mostly from AQE coalescing the agg exchange unevenly
+      (808-1709 docs/task → straggler tail in the Python stage).
+    - ``"agg"``: groupBy(url).agg(max_by(html, struct(warc_ts, h))) —
+      partial_max_by runs MAP-SIDE, so at Common-Crawl dup rates
+      (30-60%) most duplicate payloads never pay shuffle bytes. The
+      exchange width follows spark.sql.shuffle.partitions (set as a
+      documented side effect when num_partitions is passed); pair it
+      with spark.sql.adaptive.coalescePartitions.enabled=false to keep
+      the UDF stage evenly parallel.
+
+    Both tie-break equal warc_ts on xxhash64(html) (deterministic at
+    any partitioning; xxhash64, not md5 — ~10x cheaper JVM-side).
+    Never hand-roll pmod(hash(url), n) partitioning: repartition
+    hashes the expression AGAIN and the 0..n-1 bucket ids collide —
+    observed 18 skewed tasks instead of 32."""
     spark = pages.sparkSession
     p = pages.filter(
         (F.col("lang") != "") & F.col("html").isNotNull()
@@ -156,35 +183,31 @@ def extraction_plan(
         # broadcast anti-join BEFORE the exchange: already-done urls
         # never pay shuffle bytes
         p = p.join(F.broadcast(done_urls.select("url")), "url", "left_anti")
-    # Dedup-by-latest via hash aggregation: ONE full-payload exchange,
-    # and the duplicate payloads die MAP-SIDE (partial max_by runs
-    # before the exchange, so at Common-Crawl dup rates 30-60% of the
-    # shuffle bytes never leave the mapper — a window-after-shuffle
-    # plan cannot do this, and a window-before-repartition plan pays a
-    # second full-payload exchange; round 1 ran the latter and it cost
-    # ~10 points of 8→32 scaling efficiency in JVM shuffle work
-    # competing with the Python workers). max_by's binary buffer makes
-    # Catalyst pick SortAggregate (a per-partition pointer sort on
-    # url) — cheap next to the shuffle bytes it saves at real-world
-    # dup rates. Tie-break on xxhash64(html) so equal-warc_ts
-    # duplicates resolve deterministically regardless of partitioning
-    # (xxhash64, not md5: ~10x cheaper JVM-side). shuffle.partitions
-    # governs the agg exchange; mapInPandas inherits it, so submit
-    # with shuffle.partitions ≈ 2-4x total cores for the UDF stage.
-    # (Never hand-roll pmod(hash(url), n) partitioning: repartition
-    # hashes the expression AGAIN and the 0..n-1 bucket ids collide —
-    # observed 18 skewed tasks instead of 32.)
-    # The agg exchange width IS spark.sql.shuffle.partitions (read at
-    # action time); when the caller asks for an explicit width we set
-    # the session conf and leave it set — a deliberate, documented
-    # side effect (an explicit RepartitionByExpression before/after
-    # the agg would either kill the partial agg or add a second
-    # full-payload exchange).
     n = num_partitions or (4 * spark.sparkContext.defaultParallelism)
-    spark.conf.set("spark.sql.shuffle.partitions", str(n))
-    p = p.groupBy("url").agg(
-        F.expr("max_by(html, struct(warc_ts, xxhash64(html)))").alias("html")
-    )
+    if dedup == "agg":
+        spark.conf.set("spark.sql.shuffle.partitions", str(n))
+        p = p.groupBy("url").agg(
+            F.expr("max_by(html, struct(warc_ts, xxhash64(html)))").alias(
+                "html"
+            )
+        )
+    else:
+        from pyspark.sql import Window
+
+        p = p.repartition(n, F.col("url"))
+        p = (
+            p.withColumn(
+                "_rn",
+                F.row_number().over(
+                    Window.partitionBy("url").orderBy(
+                        F.desc("warc_ts"), F.desc(F.xxhash64(F.col("html")))
+                    )
+                ),
+            )
+            .filter(F.col("_rn") == 1)
+            # column pruning: the UDF only ever sees (url, html)
+            .select("url", "html")
+        )
     fn = make_extract_batch(settings) if settings else extract_batch
     return p.mapInPandas(fn, EXTRACT_SCHEMA)
 

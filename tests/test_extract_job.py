@@ -54,10 +54,11 @@ def test_spark_extraction_matches_goldens(spark):
         ), c["id"]
 
 
-def test_dedup_latest_picks_newest_html(spark):
+@pytest.mark.parametrize("strategy", ["window", "agg"])
+def test_dedup_latest_picks_newest_html(spark, strategy):
     """Two crawls of the same url: extraction must use the LATER
     warc_ts's html (and the choice is deterministic under ties via the
-    xxhash64 tie-break)."""
+    xxhash64 tie-break) — under BOTH dedup strategies."""
     from pyspark.sql import functions as F
 
     from readability_py_spark.plans.extract_job import extraction_plan
@@ -72,7 +73,7 @@ def test_dedup_latest_picks_newest_html(spark):
     pages = spark.createDataFrame(
         rows, "url string, warc_ts string, html binary, text string, lang string"
     ).withColumn("warc_ts", F.col("warc_ts").cast("timestamp"))
-    out = extraction_plan(pages).collect()
+    out = extraction_plan(pages, dedup=strategy).collect()
     assert len(out) == 1
     assert out[0]["title"] == "NEW"
 

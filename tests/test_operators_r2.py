@@ -30,11 +30,12 @@ def test_simhash_signature_build_is_mapside(spark):
 
 
 def test_extraction_plan_single_exchange(spark):
-    """scan → filter → partial max_by agg → ONE hash(url) exchange →
-    final agg → mapInPandas: duplicate payloads die map-side in the
-    partial aggregate (two full-payload shuffles was the round-1 shape
-    and the main 8→32-core scaling overhead; window-after-exchange was
-    the interim shape and couldn't cut dup bytes before the wire)."""
+    """Both dedup strategies must stay single-exchange (two full-payload
+    shuffles was the round-1 shape and the main 8→32-core scaling
+    overhead). window: REPARTITION_BY_NUM (AQE-coalescing-exempt, even
+    tasks) + partition-local window with the top-1 limit pushed below
+    the sort. agg: partial_max_by below the exchange (duplicate
+    payloads cut map-side before they cost network bytes)."""
     from readability_py_spark.plans.extract_job import (
         extraction_plan,
         pages_from_documents,
@@ -43,11 +44,15 @@ def test_extraction_plan_single_exchange(spark):
     pages = pages_from_documents(spark, SF_SMOKE)
     plan = _physical_plan(extraction_plan(pages, num_partitions=8))
     assert len(re.findall(r"Exchange", plan)) == 1, plan
-    # partial_max_by BELOW the exchange in the plan string = the
-    # partial aggregate runs upstream of the shuffle, so duplicate
-    # payloads are cut map-side before they cost network bytes
-    assert "partial_max_by" in plan, plan
-    assert plan.index("partial_max_by") > plan.index("Exchange"), plan
+    assert "REPARTITION_BY_NUM" in plan, plan
+    assert "WindowGroupLimit" in plan, plan
+
+    plan_agg = _physical_plan(
+        extraction_plan(pages, num_partitions=8, dedup="agg")
+    )
+    assert len(re.findall(r"Exchange", plan_agg)) == 1, plan_agg
+    assert "partial_max_by" in plan_agg, plan_agg
+    assert plan_agg.index("partial_max_by") > plan_agg.index("Exchange"), plan_agg
 
 
 def test_price_quartiles_approx_close_to_exact(spark):
