@@ -145,12 +145,23 @@ def extraction_plan(
     num_partitions: int | None = None,
     settings: dict | None = None,
     dedup: str = "window",
+    assume_clustered: bool = False,
 ) -> DataFrame:
     """Build the full logical plan over a pages DataFrame
     (url, warc_ts, html, text, lang).
 
+    ``assume_clustered=True`` declares the input already hash-clustered
+    on url (an Iceberg/parquet table bucketed by url at ingest — the
+    production layout). The plan then skips its repartition entirely:
+    the dedup window rides the bucketed scan's HashPartitioning and
+    the WHOLE extraction job runs with ZERO exchanges (verified by
+    tests/test_operators_r2.py::test_bucketed_extraction_zero_exchange).
+    At 10^12 rows this converts the one full-payload shuffle into a
+    one-time ingest cost amortized over every downstream extraction.
+
     ``dedup`` picks the dedup-latest strategy — both are a SINGLE
-    full-payload exchange; they differ in where duplicate payloads die:
+    full-payload exchange (zero when assume_clustered); they differ in
+    where duplicate payloads die:
 
     - ``"window"`` (default): repartition(n, url) [REPARTITION_BY_NUM —
       exempt from AQE coalescing, so the CPU-bound UDF stage keeps n
@@ -194,7 +205,8 @@ def extraction_plan(
     else:
         from pyspark.sql import Window
 
-        p = p.repartition(n, F.col("url"))
+        if not assume_clustered:
+            p = p.repartition(n, F.col("url"))
         p = (
             p.withColumn(
                 "_rn",

@@ -55,6 +55,36 @@ def test_extraction_plan_single_exchange(spark):
     assert plan_agg.index("partial_max_by") > plan_agg.index("Exchange"), plan_agg
 
 
+def test_bucketed_extraction_zero_exchange(spark, tmp_path):
+    """Over a url-bucketed table (the production Iceberg layout) the
+    whole extraction plan — filter, dedup-latest window, mapInPandas —
+    must contain ZERO exchanges: dedup rides the bucket clustering."""
+    from pyspark.sql import functions as F
+
+    from readability_py_spark.plans.extract_job import (
+        extraction_plan,
+        pages_from_documents,
+    )
+
+    tbl = "pages_bucketed_zx"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    pages_from_documents(spark, SF_SMOKE).write.bucketBy(4, "url").format(
+        "parquet"
+    ).mode("overwrite").saveAsTable(tbl)
+    try:
+        plan = _physical_plan(
+            extraction_plan(spark.table(tbl), assume_clustered=True)
+        )
+        assert len(re.findall(r"Exchange", plan)) == 0, plan
+        assert "MapInPandas" in plan, plan
+        # and it still extracts correctly
+        out = extraction_plan(spark.table(tbl), assume_clustered=True)
+        n = out.filter(F.col("metrics.parse_ok")).count()
+        assert n == 500
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
 def test_price_quartiles_approx_close_to_exact(spark):
     """approx_percentile at accuracy=10000 must sit within 1% relative
     of the exact interpolated percentile on every cell (the production

@@ -50,6 +50,8 @@ def run(master: str, label: str) -> dict:
         "--label",
         label,
     ]
+    if os.environ.get("SPARK_GRAFT_BUCKETED"):
+        cmd.append("--bucketed")
     proc = subprocess.run(cmd, capture_output=True, text=True, timeout=1200)
     for line in proc.stdout.splitlines():
         line = line.strip()

@@ -26,11 +26,21 @@ def main() -> None:
     ap.add_argument("--input", default=None, help="pages parquet dir (else generate)")
     ap.add_argument("--label", default="run")
     ap.add_argument("--shuffle-partitions", type=int, default=None)
+    ap.add_argument(
+        "--bucketed",
+        action="store_true",
+        help="read pages from a url-bucketed table (built once per input) "
+        "— the production Iceberg layout: extraction runs with ZERO "
+        "exchanges because dedup rides the bucket clustering",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
 
+    import os as _os
+
+    repo = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
     builder = (
         SparkSession.builder.appName(f"rps-extract-{args.label}")
         .config("spark.sql.adaptive.enabled", "true")
@@ -38,6 +48,7 @@ def main() -> None:
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1m")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
+        .config("spark.sql.warehouse.dir", _os.path.join(repo, ".data", "warehouse"))
     )
     spark = builder.getOrCreate()
     cores = spark.sparkContext.defaultParallelism
@@ -48,8 +59,45 @@ def main() -> None:
     from readability_py_spark.plans.bench_extract import build_pages_df
     from readability_py_spark.plans.extract_job import extraction_plan
 
+    bucketed = False
     if args.input:
-        pages = spark.read.parquet(args.input).persist()
+        if args.bucketed:
+            # one-time ingest: bucket the corpus by url (128 buckets ≈
+            # 4 tasks/core at 32 cores); every subsequent extraction
+            # reads the bucketed table and never shuffles
+            tbl = "pages_b_" + args.input.rstrip("/").rsplit("_", 1)[-1]
+            loc = _os.path.join(repo, ".data", "warehouse", f"{tbl}_ext")
+            if not spark.catalog.tableExists(tbl):
+                if not _os.path.exists(loc):
+                    # one-time bucketed write (goes through a temp
+                    # managed name, then the files are reused)
+                    (
+                        spark.read.parquet(args.input)
+                        # align write tasks with buckets (same murmur3
+                        # hash) → exactly ONE file per bucket; without
+                        # this every write task spills a sliver into
+                        # every bucket (observed 32 files/bucket → 4k
+                        # footer opens per scan, +60% wall at 8 cores)
+                        .repartition(128, F.col("url"))
+                        .write.bucketBy(128, "url")
+                        .format("parquet")
+                        .mode("overwrite")
+                        .option("path", loc)
+                        .saveAsTable(tbl)
+                    )
+                else:
+                    # fresh session metastore, files already on disk:
+                    # re-register the external bucketed table
+                    spark.sql(
+                        f"CREATE TABLE {tbl} (url STRING, warc_ts TIMESTAMP, "
+                        "html BINARY, text STRING, lang STRING) USING parquet "
+                        "CLUSTERED BY (url) INTO 128 BUCKETS "
+                        f"LOCATION '{loc}'"
+                    )
+            pages = spark.table(tbl)
+            bucketed = True
+        else:
+            pages = spark.read.parquet(args.input).persist()
     else:
         pages = build_pages_df(spark, args.docs).persist()
     n_in = pages.count()
@@ -85,7 +133,9 @@ def main() -> None:
     for _rep in range(n_reps):
         s_before = cpu_stat()
         t0 = time.monotonic()
-        extracted = extraction_plan(pages, num_partitions=n_parts)
+        extracted = extraction_plan(
+            pages, num_partitions=n_parts, assume_clustered=bucketed
+        )
         stats = (
             extracted.groupBy("part_id")
             .agg(
