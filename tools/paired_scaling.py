@@ -25,8 +25,13 @@ sys.path.insert(0, os.path.join(REPO, "tools"))
 from scaling_bench import PAGES_DIR, ZIP, build_zip, run  # noqa: E402
 
 PROBE_DOCS = 250
-QUIET_RATE_FRACTION = 0.88  # probe must reach this fraction of the best seen
-MAX_RUN_STEAL_PCT = 1.5  # reject runs whose chosen rep saw more steal
+# The probe gate is a coarse pre-filter; the decisive gate is the
+# in-run steal% (measured DURING the chosen rep). A strict probe
+# fraction against an all-time-best anchor starves the hunt — the
+# anchor captures one exceptionally clean moment, while typical quiet
+# windows probe 5-15% below it.
+QUIET_RATE_FRACTION = 0.82
+MAX_RUN_STEAL_PCT = 1.0  # reject runs whose chosen rep saw more steal
 PROBE_ANCHOR = os.path.join(REPO, ".data", "probe_best.json")
 
 

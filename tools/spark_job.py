@@ -47,7 +47,10 @@ def main() -> None:
         .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1m")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            _os.environ.get("SPARK_GRAFT_ARROW_BATCH", "256"),
+        )
         .config("spark.sql.warehouse.dir", _os.path.join(repo, ".data", "warehouse"))
     )
     spark = builder.getOrCreate()
