@@ -78,6 +78,23 @@ def main() -> None:
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).limit(
         1000
     ).write.format("noop").mode("overwrite").save()
+    # ...and the Python workers, so the first mapInPandas query isn't
+    # charged 32 interpreter spawns (a long-running cluster amortizes
+    # worker start to zero; same convention as tools/spark_job.py).
+    import pandas as _pd
+
+    def _noop(it):
+        for pdf in it:
+            yield _pd.DataFrame({"n": [len(pdf)]})
+
+    (
+        spark.range(10000)
+        .repartition(int(cpus))
+        .mapInPandas(_noop, "n long")
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
 
     timings: dict[str, float] = {}
     extras: dict[str, float] = {}
