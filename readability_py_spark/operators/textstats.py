@@ -163,7 +163,36 @@ FROM documents
 """
 
 
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: top-50 whitespace tokens by document
+    frequency — the vocab-building face of a training-data pipeline.
+    Scale shape: explode → two-phase count (partial map-side combine
+    comes free with groupBy) → global top-k via TakeOrdered (orderBy +
+    limit never materializes a full sort at scale). Deterministic
+    tie-break on the token string."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
+    ).filter(F.col("tok") != "")
+    return (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .orderBy(F.desc("doc_freq"), F.asc("tok"))
+        .limit(50)
+    )
+
+
+ORACLE_VOCAB_TOPK = """
+SELECT tok, CAST(COUNT(*) AS BIGINT) AS doc_freq FROM (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+  FROM documents
+) WHERE tok <> ''
+GROUP BY tok ORDER BY doc_freq DESC, tok ASC LIMIT 50
+"""
+
+
 QUERIES = {
+    "vocab_topk": q_vocab_topk,
     "token_stats": q_token_stats,
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
@@ -171,6 +200,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "vocab_topk": ORACLE_VOCAB_TOPK,
     "token_stats": ORACLE_TOKEN_STATS,
     "lang_id": ORACLE_LANG_ID,
     "quality_score": ORACLE_QUALITY_SCORE,
