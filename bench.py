@@ -37,8 +37,10 @@ HEADLINE = [
     "minhash_lsh_dups",
     "minhash_lsh_capped",
     "simhash_docs",
+    "simhash_pairs_capped",
     "knn_brute_topk",
     "ann_lsh_topk",
+    "embedding_near_dups",
     "token_stats",
     "quality_score",
     "doc_fingerprint",
@@ -49,6 +51,7 @@ HEADLINE = [
     "events_pivot",
     "top_parts_by_revenue",
     "media_decode_stub",
+    "media_decode_headers",
     "extract_articles",
 ]
 
@@ -105,6 +108,12 @@ def main() -> None:
         t0 = time.monotonic()
         force(fn(spark, sf_dir))
         timings[name] = round(time.monotonic() - t0, 3)
+        # release per-query persisted relations (advisor r2: the dedup
+        # queries cache shingle/signature tables for their self-joins;
+        # a sequential bench session must not accumulate them)
+        from readability_py_spark.operators.dedup import release_caches
+
+        release_caches()
 
     # Extraction throughput (flagship plan); becomes the primary
     # metric once the byte-faithful extractor is wired in.

@@ -63,6 +63,48 @@ def decode_real(payload: bytes):  # pragma: no cover - cluster-only path
     raise NotImplementedError("wire Image.open(io.BytesIO(payload)) here")
 
 
+def parse_image_header(payload: bytes) -> tuple[str, int, int] | None:
+    """REAL header decode for PNG/GIF/JPEG — no imaging library needed
+    (round-3, VERDICT r2 item 3). Returns (media_type, width, height)
+    or None when the payload is not a recognized image.
+
+    - PNG: 8-byte signature, then the IHDR chunk is mandatory-first
+      (PNG spec §5.6/§11.2.2): width = bytes 16-19 big-endian,
+      height = bytes 20-23.
+    - GIF87a/89a: logical screen descriptor at bytes 6-9,
+      little-endian u16 width then height (GIF spec §18).
+    - JPEG: walk the marker segments for the first frame header
+      SOFn (C0-CF except C4/C8/CC): height u16 BE at offset +5,
+      width at +7 within the segment (ITU T.81 §B.2.2).
+    """
+    if (
+        payload[:8] == b"\x89PNG\r\n\x1a\n"
+        and len(payload) >= 24
+        and payload[12:16] == b"IHDR"
+    ):
+        w = int.from_bytes(payload[16:20], "big")
+        h = int.from_bytes(payload[20:24], "big")
+        return "image/png", w, h
+    if payload[:6] in (b"GIF87a", b"GIF89a") and len(payload) >= 10:
+        w = int.from_bytes(payload[6:8], "little")
+        h = int.from_bytes(payload[8:10], "little")
+        return "image/gif", w, h
+    if payload[:3] == b"\xff\xd8\xff":
+        i = 2
+        while i + 9 <= len(payload) and payload[i] == 0xFF:
+            marker = payload[i + 1]
+            if marker == 0xD8 or marker == 0x01 or 0xD0 <= marker <= 0xD7:
+                i += 2  # standalone markers carry no length
+                continue
+            seg_len = int.from_bytes(payload[i + 2 : i + 4], "big")
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                h = int.from_bytes(payload[i + 5 : i + 7], "big")
+                w = int.from_bytes(payload[i + 7 : i + 9], "big")
+                return "image/jpeg", w, h
+            i += 2 + seg_len
+    return None
+
+
 def _fake_decode(payload: bytes) -> tuple[int, int, int, list[float]]:
     """Deterministic stand-in for pixel decode: dimensions and an
     8-dim 'feature' derived from md5(payload). Mirrorable in SQL."""
@@ -83,8 +125,16 @@ def decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
             raw = bytes(payload) if payload is not None else b""
             w, h, fr, feat = _fake_decode(raw)
+            mtype = sniff_media_type(raw)
+            parsed = parse_image_header(raw)
+            if parsed is not None:
+                # real header decode for recognized image formats;
+                # n_frames=1 (frame walking would need full block
+                # parsing) and the feature vector stays the stub.
+                mtype, w, h = parsed
+                fr = 1
             out["doc_id"].append(int(doc_id))
-            out["media_type"].append(sniff_media_type(raw))
+            out["media_type"].append(mtype)
             out["n_bytes"].append(len(raw))
             out["width"].append(w)
             out["height"].append(h)
@@ -124,5 +174,105 @@ FROM documents
 """
 
 
-QUERIES = {"media_decode_stub": q_media_decode_stub}
-ORACLES = {"media_decode_stub": ORACLE_MEDIA_DECODE_STUB}
+def _int_be4(col: F.Column) -> F.Column:
+    """4-byte big-endian binary encoding of a non-negative int col."""
+    return F.unhex(F.lpad(F.hex(col), 8, "0"))
+
+
+def _int_le2(col: F.Column) -> F.Column:
+    """2-byte little-endian binary encoding (0 <= col < 65536)."""
+    return F.unhex(
+        F.concat(
+            F.lpad(F.hex(col % 256), 2, "0"),
+            F.lpad(F.hex((col / 256).cast("int")), 2, "0"),
+        )
+    )
+
+
+def synth_image_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic VALID image payloads per document: even doc_id →
+    a 33-byte PNG (signature + IHDR), odd → a 14-byte GIF87a (header +
+    logical screen descriptor + trailer). Width/height derive from
+    doc_id, so the corpus covers the whole u12/u11 range."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = (F.col("doc_id") % 4093 + 1).cast("int")
+    h = ((F.col("doc_id") * 7) % 2160 + 1).cast("int")
+    png = F.concat(
+        F.unhex(F.lit("89504E470D0A1A0A")),  # PNG signature
+        F.unhex(F.lit("0000000D49484452")),  # len(IHDR)=13, "IHDR"
+        _int_be4(w),
+        _int_be4(h),
+        F.unhex(F.lit("080200000000000000")),  # depth/color/... + CRC
+    )
+    gif = F.concat(
+        F.unhex(F.lit("474946383761")),  # "GIF87a"
+        _int_le2(w),
+        _int_le2(h),
+        F.unhex(F.lit("0000003B")),  # flags, bg, aspect, trailer
+    )
+    payload = F.when(F.col("doc_id") % 2 == 0, png).otherwise(gif)
+    return docs.select("doc_id", payload.alias("payload"))
+
+
+def q_media_decode_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """queries() entry: REAL image-header decode through the Arrow
+    batch UDF over synthesized valid PNG/GIF payloads. The DuckDB
+    oracle builds the identical bytes and parses them by byte-slicing
+    the hex dump — so the Python header parser is verified against an
+    independent SQL decode, not against the synthesis formula."""
+    payloads = synth_image_payloads(spark, sf_dir)
+    return media_decode_plan(payloads).select(
+        "doc_id", "media_type", "n_bytes", "width", "height", "n_frames"
+    )
+
+
+# DuckDB twin: construct the same payload blob, then decode by slicing
+# hex(payload) (2 hex chars per byte; DuckDB 1.0 lacks blob substring).
+# PNG: width = bytes 17-20 (1-indexed) → hex chars 33-40 big-endian;
+# height = bytes 21-24 → chars 41-48.
+# GIF: width = bytes 7-8 little-endian → chars 13-14 (low) + 15-16
+# (high), reassembled high||low; height = bytes 9-10 → 17-20.
+ORACLE_MEDIA_DECODE_HEADERS = """
+WITH p AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0 THEN
+           unhex('89504E470D0A1A0A') || unhex('0000000D49484452')
+           || unhex(lpad(hex(CAST(doc_id % 4093 + 1 AS INT)), 8, '0'))
+           || unhex(lpad(hex(CAST((doc_id * 7) % 2160 + 1 AS INT)), 8, '0'))
+           || unhex('080200000000000000')
+         ELSE
+           unhex('474946383761')
+           || unhex(lpad(hex(CAST((doc_id % 4093 + 1) % 256 AS INT)), 2, '0'))
+           || unhex(lpad(hex(CAST((doc_id % 4093 + 1) // 256 AS INT)), 2, '0'))
+           || unhex(lpad(hex(CAST(((doc_id * 7) % 2160 + 1) % 256 AS INT)), 2, '0'))
+           || unhex(lpad(hex(CAST(((doc_id * 7) % 2160 + 1) // 256 AS INT)), 2, '0'))
+           || unhex('0000003B')
+         END AS payload
+  FROM documents
+),
+hx AS (SELECT doc_id, payload, hex(payload) AS s FROM p)
+SELECT doc_id,
+       CASE WHEN substring(s, 1, 8) = '89504E47'
+            THEN 'image/png' ELSE 'image/gif' END AS media_type,
+       CAST(octet_length(payload) AS INT) AS n_bytes,
+       CAST(CASE WHEN substring(s, 1, 8) = '89504E47'
+            THEN CAST('0x' || substring(s, 33, 8) AS INT)
+            ELSE CAST('0x' || substring(s, 15, 2) || substring(s, 13, 2) AS INT)
+       END AS INT) AS width,
+       CAST(CASE WHEN substring(s, 1, 8) = '89504E47'
+            THEN CAST('0x' || substring(s, 41, 8) AS INT)
+            ELSE CAST('0x' || substring(s, 19, 2) || substring(s, 17, 2) AS INT)
+       END AS INT) AS height,
+       CAST(1 AS INT) AS n_frames
+FROM hx
+"""
+
+
+QUERIES = {
+    "media_decode_stub": q_media_decode_stub,
+    "media_decode_headers": q_media_decode_headers,
+}
+ORACLES = {
+    "media_decode_stub": ORACLE_MEDIA_DECODE_STUB,
+    "media_decode_headers": ORACLE_MEDIA_DECODE_HEADERS,
+}

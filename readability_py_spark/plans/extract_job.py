@@ -175,10 +175,13 @@ def extraction_plan(
     - ``"agg"``: groupBy(url).agg(max_by(html, struct(warc_ts, h))) —
       partial_max_by runs MAP-SIDE, so at Common-Crawl dup rates
       (30-60%) most duplicate payloads never pay shuffle bytes. The
-      exchange width follows spark.sql.shuffle.partitions (set as a
-      documented side effect when num_partitions is passed); pair it
-      with spark.sql.adaptive.coalescePartitions.enabled=false to keep
-      the UDF stage evenly parallel.
+      exchange width follows spark.sql.shuffle.partitions — set it at
+      job submission (``num_partitions`` is NOT applied here: a
+      repartition before the groupBy would defeat the map-side
+      combine, and mutating the session conf from inside a plan
+      builder leaks into unrelated queries — advisor r2). Pair it
+      with spark.sql.adaptive.coalescePartitions.enabled=false to
+      keep the UDF stage evenly parallel.
 
     Both tie-break equal warc_ts on xxhash64(html) (deterministic at
     any partitioning; xxhash64, not md5 — ~10x cheaper JVM-side).
@@ -196,7 +199,6 @@ def extraction_plan(
         p = p.join(F.broadcast(done_urls.select("url")), "url", "left_anti")
     n = num_partitions or (4 * spark.sparkContext.defaultParallelism)
     if dedup == "agg":
-        spark.conf.set("spark.sql.shuffle.partitions", str(n))
         p = p.groupBy("url").agg(
             F.expr("max_by(html, struct(warc_ts, xxhash64(html)))").alias(
                 "html"
