@@ -263,11 +263,21 @@ class Arc90Document:
 
     def get_doc(self, remove_comments: bool = True):
         """Returns the output re-parsed as a soup copy — modifying it
-        does not modify the real output (readability.py:122-126)."""
+        does not modify the real output (readability.py:122-126).
+
+        The re-parse consumes utf-8 BYTES, not the unicode string: in
+        the reference, renderContents returns utf-8 bytes and the
+        fresh soup runs the full UnicodeDammit cascade on them — so
+        when the output still carries the source document's meta
+        charset (survives into the head when extraction keeps it),
+        the re-parse re-detects THAT charset and re-decodes the utf-8
+        output with it, mojibake and all (caught by golden
+        encodings_tail_003: a late-declared iso-8859-2 page whose
+        get_doc round-trip double-decodes)."""
         from .parser import SoupParser
 
         return SoupParser(
-            self.get_html(remove_comments=remove_comments)
+            self.get_html(remove_comments=remove_comments).encode("utf-8")
         ).root
 
     def get_title(self) -> str:

@@ -363,6 +363,98 @@ def gen_dup_attrs(rng, i):
     return _page(f"Dup attrs {i}", body), f"http://dup.example.com/d/{i}.html", {}
 
 
+def gen_encodings_tail(rng, i):
+    """Round-3 golden family (VERDICT r2 item 6): the rarest branches
+    of the O2 encoding cascade.
+
+    - UTF-16LE/BE WITHOUT a BOM: only detectable from the XML
+      declaration byte pattern ('<\\x00?\\x00' / '\\x00<\\x00?',
+      readability.py:3100-3116) — a plain no-BOM UTF-16 HTML page is
+      undetectable by design, so the fixtures carry the declaration.
+    - ISO-8859-2 declared LATE via an entity-obfuscated meta (invisible
+      to the byte scan → StopParsing restart, readability.py:2816-2861)
+      with Latin-2 letters whose cp1252 decoding differs.
+    - MS smart-quote substitution: declared ISO-8859-1 content carrying
+      the full \\x80-\\x9f table (readability.py:3201-3248) — the BS3
+      smartQuotesTo='xml' path must map each to its entity.
+    """
+    kind = i % 6
+    text = _para(rng, 3, 20, 3)
+    tail = _para(rng, 2, 20, 2)
+    if kind == 0:
+        # UTF-16LE, no BOM, XML declaration carries the detection bytes
+        doc = (
+            f"<?xml version=\"1.0\"?><html><head><title>U16LE {i}</title>"
+            f"</head><body><div class='post'><p>Déjà — {text} {tail}</p>"
+            f"</div></body></html>"
+        )
+        html = doc.encode("utf-16-le")
+    elif kind == 1:
+        # UTF-16BE, no BOM
+        doc = (
+            f"<?xml version=\"1.0\"?><html><head><title>U16BE {i}</title>"
+            f"</head><body><div class='post'><p>Naïve café — {text} {tail}</p>"
+            f"</div></body></html>"
+        )
+        html = doc.encode("utf-16-be")
+    elif kind == 2:
+        # UTF-16BE WITH BOM (the existing encodings family covers LE)
+        doc = (
+            f"<html><head><title>U16BE BOM {i}</title></head><body>"
+            f"<div class='post'><p>Résumé — {text} {tail}</p></div>"
+            f"</body></html>"
+        )
+        html = b"\xfe\xff" + doc.encode("utf-16-be")
+    elif kind == 3:
+        # ISO-8859-2 declared late (entity-obfuscated '=' hides it from
+        # the byte scan; the parser sees it mid-parse → restart) with
+        # Latin-2 letters: ± (b1) is ą, ¾ (be) is ž, ¿ (bf) is ż
+        body = (
+            f"<div class='post'><p>Gda\xf1sk \xb1 \xbe \xbf \xe6 - {text} "
+            f"{tail}</p></div>"
+        )
+        doc = (
+            f"<html><head><title>Latin2 late {i}</title>"
+            f"<meta http-equiv=\"Content-Type\" "
+            f"content=\"text/html; charset&#61;iso-8859-2\">"
+            f"</head><body>{body}</body></html>"
+        )
+        html = doc.encode("latin-1")
+    elif kind == 4:
+        # ISO-8859-2 declared normally (visible to the byte scan)
+        body = (
+            f"<div class='post'><p>\xa3\xf3d\xbf \xb6wietnie - {text} "
+            f"{tail}</p></div>"
+        )
+        doc = (
+            f"<html><head><title>Latin2 {i}</title>"
+            f"<meta http-equiv=\"Content-Type\" "
+            f"content=\"text/html; charset=iso-8859-2\">"
+            f"</head><body>{body}</body></html>"
+        )
+        html = doc.encode("latin-1")
+    else:
+        # declared ISO-8859-1 carrying the full MS \x80-\x9f range —
+        # every smart char must come out as its substitution entity
+        ms = "".join(chr(c) for c in range(0x80, 0xA0))
+        body = f"<div class='post'><p>MS[{ms}] sweep. {text} {tail}</p></div>"
+        doc = (
+            f"<html><head><title>MS chars {i}</title>"
+            f"<meta http-equiv=\"Content-Type\" "
+            f"content=\"text/html; charset=iso-8859-1\">"
+            f"</head><body>{body}</body></html>"
+        )
+        html = doc.encode("latin-1")
+    return html, f"http://enctail.example.com/t/{i}.html", {}
+
+
+# Golden-only families: byte-identity coverage that is NOT part of the
+# pages corpus (generate_page_row indexes FAMILIES by position, so
+# appending there would silently reshuffle every bench/scaling corpus).
+GOLDEN_ONLY_FAMILIES = {
+    "encodings_tail": gen_encodings_tail,
+}
+
 FAMILIES = {
     "simple_article": gen_simple_article,
     "dup_attrs": gen_dup_attrs,
@@ -388,7 +480,7 @@ FAMILIES = {
 
 def generate_fixtures(per_family: int = 4, seed: int = 42) -> list[Fixture]:
     fixtures = []
-    for family, gen in FAMILIES.items():
+    for family, gen in {**FAMILIES, **GOLDEN_ONLY_FAMILIES}.items():
         for i in range(per_family):
             rng = random.Random(f"{seed}:{family}:{i}")
             html, url, settings = gen(rng, i)
@@ -404,9 +496,33 @@ def generate_fixtures(per_family: int = 4, seed: int = 42) -> list[Fixture]:
     return fixtures
 
 
-def generate_page_row(k: int, seed: int = 42) -> dict:
+_OVERSIZE_PARA = (
+    "<p>Synthetic oversized paragraph with plenty of commas, words, "
+    "clauses, and sentences, repeated to inflate the document body, "
+    "testing large page extraction cost at megabyte scale.</p>"
+)
+
+
+def _oversized_html(k: int) -> bytes:
+    """Deterministic 1-2 MB page (round-3 skew corpus, VERDICT r2
+    item 4): extraction cost is ~linear in bytes (~0.6 s/MB single
+    core), so one outlier ≈ 500 normal docs — the straggler shape a
+    real crawl's tail produces."""
+    target = 1_000_000 + (k * 37_503) % 1_000_000
+    n = max(1, target // len(_OVERSIZE_PARA))
+    return (
+        f"<html><head><title>Oversized {k}</title></head><body>"
+        "<div class='nav'><a href='/'>Home</a></div>"
+        "<div class='article-content'>" + _OVERSIZE_PARA * n + "</div>"
+        "<div id='footer'><p>Copyright.</p></div></body></html>"
+    ).encode("utf-8")
+
+
+def generate_page_row(k: int, seed: int = 42, oversize_every: int = 0) -> dict:
     """One deterministic pages-corpus row (shared by the in-memory
-    generator and the parallel parquet writer)."""
+    generator and the parallel parquet writer). ``oversize_every=N``
+    replaces every Nth page's html with a 1-2 MB outlier document
+    (host skew stays as-is — the Zipf-hot host is already built in)."""
     import datetime
     import re as _re
 
@@ -422,6 +538,8 @@ def generate_page_row(k: int, seed: int = 42) -> dict:
         host = rng.randrange(2, 40)
     family = fams[k % len(fams)]
     html, _url, settings = FAMILIES[family](rng, k % 7)
+    if oversize_every and k % oversize_every == 0:
+        html = _oversized_html(k)
     text = _re.sub(r"<[^>]+>", " ", html.decode("utf-8", "replace"))
     text = _re.sub(r"\s+", " ", text).strip()
     return {

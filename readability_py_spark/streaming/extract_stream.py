@@ -72,6 +72,27 @@ def streaming_metrics(pages: DataFrame) -> DataFrame:
     )
 
 
+def run_to_parquet_sink(
+    stream: DataFrame, out_dir: str, checkpoint_dir: str
+):
+    """Checkpointed parquet sink, drained with availableNow — the
+    exactly-once production shape: the checkpoint records which source
+    files each committed micro-batch consumed, so a killed-and-
+    restarted query never re-extracts a page it already committed
+    (proved by tests/test_streaming_and_media.py::
+    test_streaming_kill_resume_exactly_once)."""
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return q
+
+
 def run_to_memory_sink(
     stream: DataFrame, name: str, output_mode: str = "append"
 ):

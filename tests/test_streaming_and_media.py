@@ -31,6 +31,85 @@ def test_streaming_extraction_available_now(spark, tmp_path):
     assert all(r["metrics"]["parse_ok"] for r in rows)
 
 
+def test_streaming_kill_resume_exactly_once(spark, tmp_path):
+    """The streaming face claims exactly-once via checkpointing
+    (VERDICT r2 item 5): stop the file-drop stream after a first batch
+    of input, drop more files, restart from the SAME checkpoint, and
+    verify no url was extracted twice and the union equals a full
+    uninterrupted run."""
+    from readability_py_spark.streaming.extract_stream import (
+        pages_stream,
+        run_to_parquet_sink,
+        streaming_extraction,
+    )
+
+    in_dir = str(tmp_path / "pages_in")
+    out_dir = str(tmp_path / "extracted_out")
+    ckpt = str(tmp_path / "ckpt")
+
+    # Controlled event times (generate_pages_rows' own +1day dup rows
+    # would push run 1's watermark past ALL of batch B, correctly
+    # dropping it as late — not the scenario under test): batch A =
+    # rows 0-29 at t+0..29s, batch B = rows 30-59 at t+30..59s PLUS a
+    # re-delivery of row 0's url at t+5min — inside the watermark, so
+    # the RESTORED dedup state must drop it (state recovery, not just
+    # source-file tracking).
+    import datetime
+
+    from readability_py_spark.sources.fixtures import generate_page_row
+
+    schema = (
+        "url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+
+    def _tup(r):
+        return (r["url"], r["warc_ts"], r["html"], r["text"], r["lang"])
+
+    rows = [generate_page_row(k) for k in range(60)]
+    redelivered = dict(rows[0])
+    redelivered["warc_ts"] = rows[0]["warc_ts"] + datetime.timedelta(minutes=5)
+    batch_a = spark.createDataFrame([_tup(r) for r in rows[:30]], schema)
+    batch_b = spark.createDataFrame(
+        [_tup(r) for r in rows[30:]] + [_tup(redelivered)], schema
+    )
+
+    def _valid_urls(df):
+        return {
+            r["url"]
+            for r in df.filter(
+                "lang != '' AND html IS NOT NULL AND octet_length(html) > 0"
+            )
+            .select("url")
+            .distinct()
+            .collect()
+        }
+
+    urls_a, urls_b = _valid_urls(batch_a), _valid_urls(batch_b)
+    assert urls_a and urls_b
+    assert urls_a & urls_b == {rows[0]["url"]}  # the re-delivery only
+
+    # run 1: only batch A exists; drain and stop (the "kill": the
+    # query terminates with B still undelivered)
+    batch_a.write.mode("overwrite").parquet(in_dir)
+    q1 = run_to_parquet_sink(
+        streaming_extraction(pages_stream(spark, in_dir)), out_dir, ckpt
+    )
+    assert not q1.isActive
+    got1 = {r["url"] for r in spark.read.parquet(out_dir).select("url").collect()}
+    assert got1 == urls_a
+
+    # drop batch B, restart from the same checkpoint: only B's files
+    # may be consumed (A's are committed in the checkpoint)
+    batch_b.write.mode("append").parquet(in_dir)
+    run_to_parquet_sink(
+        streaming_extraction(pages_stream(spark, in_dir)), out_dir, ckpt
+    )
+    out = spark.read.parquet(out_dir).select("url").collect()
+    urls = [r["url"] for r in out]
+    assert len(urls) == len(set(urls)), "a url was extracted twice"
+    assert set(urls) == urls_a | urls_b, "resume lost or duplicated pages"
+
+
 def test_media_decode_stub_matches_core(spark):
     import hashlib
 

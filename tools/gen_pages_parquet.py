@@ -16,14 +16,14 @@ sys.path.insert(0, REPO)
 
 
 def _gen_chunk(args):
-    start, stop, seed = args
+    start, stop, seed, oversize_every = args
     import pyarrow as pa
 
     from readability_py_spark.sources.fixtures import generate_page_row
 
     cols = {"url": [], "warc_ts": [], "html": [], "text": [], "lang": []}
     for k in range(start, stop):
-        r = generate_page_row(k, seed)
+        r = generate_page_row(k, seed, oversize_every=oversize_every)
         for c in cols:
             cols[c].append(r[c])
     return pa.table(
@@ -37,7 +37,13 @@ def _gen_chunk(args):
     )
 
 
-def generate_parquet(out_dir: str, n_rows: int, seed: int = 42, procs: int = 32):
+def generate_parquet(
+    out_dir: str,
+    n_rows: int,
+    seed: int = 42,
+    procs: int = 32,
+    oversize_every: int = 0,
+):
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -52,7 +58,8 @@ def generate_parquet(out_dir: str, n_rows: int, seed: int = 42, procs: int = 32)
     os.makedirs(out_dir, exist_ok=True)
     chunk = max(1, n_rows // (procs * 4))
     jobs = [
-        (s, min(s + chunk, n_rows), seed) for s in range(0, n_rows, chunk)
+        (s, min(s + chunk, n_rows), seed, oversize_every)
+        for s in range(0, n_rows, chunk)
     ]
     with mp.Pool(procs) as pool:
         tables = pool.map(_gen_chunk, jobs)

@@ -20,7 +20,11 @@ import zipfile
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 ZIP = os.path.join(REPO, ".data", "engine.zip")
 DOCS = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "120000"))
-PAGES_DIR = os.path.join(REPO, ".data", f"pages_bench_{DOCS}")
+# SPARK_GRAFT_OVERSIZE_EVERY=N makes every Nth page a 1-2 MB outlier
+# doc (round-3 skewed-corpus evidence; 0 = uniform corpus)
+OVERSIZE_EVERY = int(os.environ.get("SPARK_GRAFT_OVERSIZE_EVERY", "0"))
+_suffix = f"_skew{OVERSIZE_EVERY}" if OVERSIZE_EVERY else ""
+PAGES_DIR = os.path.join(REPO, ".data", f"pages_bench_{DOCS}{_suffix}")
 
 
 def build_zip() -> str:
@@ -33,6 +37,27 @@ def build_zip() -> str:
                     full = os.path.join(root, f)
                     zf.write(full, os.path.relpath(full, REPO))
     return ZIP
+
+
+def _history_append(record: dict) -> None:
+    """Every measurement attempt — kept or discarded, from ANY driver
+    (scaling_bench.main or paired_scaling.certified_run) — lands in
+    scaling_history.jsonl so the keep-best ratchet stays auditable
+    (advisor r2: paired_scaling called run() directly and its attempts
+    never reached the log)."""
+    hist_path = os.path.join(REPO, "scaling_history.jsonl")
+    with open(hist_path, "a") as fh:
+        fh.write(
+            json.dumps(
+                {
+                    "ts": time.strftime(
+                        "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
+                    ),
+                    **record,
+                }
+            )
+            + "\n"
+        )
 
 
 def run(master: str, label: str) -> dict:
@@ -56,7 +81,9 @@ def run(master: str, label: str) -> dict:
     for line in proc.stdout.splitlines():
         line = line.strip()
         if line.startswith("{"):
-            return json.loads(line)
+            result = json.loads(line)
+            _history_append({"event": "run", "input": PAGES_DIR, **result})
+            return result
     sys.stderr.write(proc.stdout[-2000:] + proc.stderr[-4000:])
     raise RuntimeError(f"no JSON from {label}")
 
@@ -95,7 +122,7 @@ def main() -> None:
         sys.path.insert(0, os.path.join(REPO, "tools"))
         from gen_pages_parquet import generate_parquet
 
-        n = generate_parquet(PAGES_DIR, DOCS)
+        n = generate_parquet(PAGES_DIR, DOCS, oversize_every=OVERSIZE_EVERY)
         print(f"generated {n} pages → {PAGES_DIR}")
     load_before = os.getloadavg()
     # 32-core first: it needs the whole quiet machine, and quiet
@@ -122,13 +149,11 @@ def main() -> None:
         "loadavg_after": [round(x, 1) for x in os.getloadavg()],
     }
     print(json.dumps(result, indent=2))
-    # every run — kept or discarded — lands in the history log, so the
-    # keep-best ratchet below is auditable (selection rule: scaling.json
-    # holds the max efficiency observed in a steal-clean window; see
-    # BENCH.md)
-    hist_path = os.path.join(REPO, "scaling_history.jsonl")
-    with open(hist_path, "a") as fh:
-        fh.write(json.dumps({"ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()), **result}) + "\n")
+    # every paired result — kept or discarded — also lands in the
+    # history log (individual run attempts are logged inside run());
+    # selection rule: scaling.json holds the max efficiency observed in
+    # a steal-clean window; see BENCH.md
+    _history_append({"event": "pair", **result})
     scaling_path = os.path.join(REPO, "scaling.json")
     if os.path.exists(scaling_path) and "--force" not in sys.argv:
         with open(scaling_path) as fh:
