@@ -512,15 +512,48 @@ def _simhash_pairs_capped_sql(dialect: str) -> str:
     semantics. Near-dups that are not byte-identical inside a hot
     bucket are deliberately dropped: bounded work beats perfect
     recall on boilerplate."""
-    base = _simhash_sql(dialect).strip()
     if dialect == "spark":
+        # The Spark dialect references the CACHED signature relation by
+        # name and expands every stage as an inline subquery instead of
+        # CTEs: a multi-referenced CTE becomes WithCTE/CTERelationRef
+        # in the analyzed plan, and cache substitution runs BEFORE CTE
+        # inlining — the persisted view underneath never matches and
+        # the md5-per-token signature build would recompute 4x (cnt,
+        # both pair-join sides, hot). At corpus scale sig is a
+        # persisted index table, which this cached relation models.
         shr16 = "shiftright(simhash, 16)"
         ham = "bit_count(a.simhash ^ b.simhash)"
         fp = "md5(encode(d.text, 'utf-8'))"
-    else:
-        shr16 = "(simhash >> 16)"
-        ham = "bit_count(xor(a.simhash, b.simhash))"
-        fp = "md5(d.text)"
+        banded = f"(SELECT doc_id, simhash, {shr16} AS hi16 FROM simhash_sig_cached)"
+        cnt = f"(SELECT hi16, COUNT(*) AS c FROM {banded} cb GROUP BY hi16)"
+        small = (
+            f"(SELECT b.doc_id, b.simhash, b.hi16 FROM {banded} b "
+            f"JOIN {cnt} c ON b.hi16 = c.hi16 WHERE c.c <= {LSH_BUCKET_CAP})"
+        )
+        hot = (
+            f"(SELECT b.doc_id FROM {banded} b "
+            f"JOIN {cnt} c ON b.hi16 = c.hi16 WHERE c.c > {LSH_BUCKET_CAP})"
+        )
+        return f"""
+SELECT a_id, b_id, hamming FROM (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST({ham} AS INT) AS hamming
+  FROM {small} a JOIN {small} b ON a.hi16 = b.hi16 AND a.doc_id < b.doc_id
+  WHERE {ham} <= 6
+)
+UNION
+SELECT a_id, b_id, hamming FROM (
+  SELECT mn AS a_id, doc_id AS b_id, CAST(0 AS INT) AS hamming FROM (
+    SELECT hf.doc_id, MIN(hf.doc_id) OVER (PARTITION BY hf.fp) AS mn FROM (
+      SELECT h.doc_id AS doc_id, {fp} AS fp
+      FROM {hot} h JOIN documents d ON h.doc_id = d.doc_id
+    ) hf
+  ) hm WHERE doc_id <> mn
+)
+"""
+    base = _simhash_sql(dialect).strip()
+    shr16 = "(simhash >> 16)"
+    ham = "bit_count(xor(a.simhash, b.simhash))"
+    fp = "md5(d.text)"
     return f"""
 WITH sig AS ({base}),
 banded AS (SELECT doc_id, simhash, {shr16} AS hi16 FROM sig),
@@ -557,6 +590,8 @@ SELECT a_id, b_id, hamming FROM exact
 
 def q_simhash_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    sig = _persist(spark.sql(_simhash_sql("spark")))
+    sig.createOrReplaceTempView("simhash_sig_cached")
     return spark.sql(_simhash_pairs_capped_sql("spark"))
 
 

@@ -114,6 +114,11 @@ def certified_run(master: str, label: str, best_probe: float):
         )
         return None, pre
     result = run(master, label)  # run() logs the attempt itself
+    # settle: spark-submit returns while the JVM + 32 python workers
+    # are still tearing down; probing instantly reads their dying CPU
+    # as "noise" (observed post-probe 174 vs reference 753 two seconds
+    # after a steal-0.0 run) — give shutdown a moment
+    time.sleep(8)
     post = probe_rate()
     if post < best_probe * QUIET_RATE_FRACTION:
         _history_append(
