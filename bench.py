@@ -40,6 +40,7 @@ HEADLINE = [
     "simhash_pairs_capped",
     "knn_brute_topk",
     "ann_lsh_topk",
+    "ann_ivf_topk",
     "embedding_near_dups",
     "token_stats",
     "quality_score",

@@ -208,8 +208,131 @@ FROM ranked WHERE rnk <= {TOPK}
 """
 
 
+# IVF coarse quantizer (round-3): fixed seeded centroids embedded as
+# literals so the DuckDB oracle runs identical math. At corpus scale
+# the centroids come from a k-means sample pass; the assign/probe
+# plan shape is what matters here — assignment is map-only argmin,
+# probe restricts candidates to the query's NPROBE nearest cells.
+IVF_CELLS = 8
+IVF_NPROBE = 2
+_ivf_rng = np.random.RandomState(4321)
+IVF_CENTROIDS: list[list[float]] = [
+    [round(float(x), 6) for x in v / np.linalg.norm(v)]
+    for v in _ivf_rng.randn(IVF_CELLS, DIM)
+]
+
+
 def _near_dup_planes(t: int) -> list[list[float]]:
     return HYPERPLANES[t * NEAR_DUP_PLANES : (t + 1) * NEAR_DUP_PLANES]
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN top-k — the coarse-quantizer scale path
+    alongside the sign-LSH one (SURVEY §similarity: "IVF or LSH").
+
+    Plan shape: cell assignment is a map-only argmax over IVF_CELLS
+    centroid dot products (`array_position(dots, array_max(dots))` —
+    first-max tie-break, identical in DuckDB); each query probes its
+    IVF_NPROBE best cells; candidates come from an equi-join on cell.
+    At 100 TB: the cell index is the partition/cluster key, a probe
+    touches NPROBE/IVF_CELLS of the corpus, and the per-cell top-k is
+    the brute-force kernel — no all-pairs anywhere."""
+    n = _normed(spark, sf_dir)
+    dots = F.array(*[_dot(F.col("v"), _lit_vec(c)) for c in IVF_CENTROIDS])
+    base = n.select("vec_id", "v", "nrm", dots.alias("dots"))
+    vec = base.select(
+        "vec_id",
+        "v",
+        "nrm",
+        F.expr("CAST(array_position(dots, array_max(dots)) AS INT)").alias(
+            "cell"
+        ),
+    )
+    qd = base.filter(F.col("vec_id") < QUERY_SET_SIZE).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+        F.posexplode("dots").alias("idx", "dot"),
+    )
+    wq = Window.partitionBy("q_id").orderBy(F.desc("dot"), F.asc("idx"))
+    qcells = (
+        qd.withColumn("r", F.row_number().over(wq))
+        .filter(F.col("r") <= IVF_NPROBE)
+        .select(
+            "q_id", "qv", "qn", (F.col("idx") + 1).cast("int").alias("cell")
+        )
+    )
+    cos = _dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))
+    pairs = (
+        qcells.join(vec, "cell")
+        .filter(F.col("q_id") != F.col("vec_id"))
+        .select("q_id", "vec_id", F.round(cos, 9).alias("cos9"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos9"), F.asc("vec_id"))
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOPK)
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(F.col("cos9"), 4).alias("cosine"),
+            "rnk",
+        )
+    )
+
+
+def _duck_ivf_dots() -> str:
+    return (
+        "["
+        + ", ".join(
+            f"list_dot_product(v, {_duck_lit(c)})" for c in IVF_CENTROIDS
+        )
+        + "]"
+    )
+
+
+def _duck_ivf_qcells() -> str:
+    arms = [
+        f"SELECT q_id, qv, qn, {i + 1} AS cell, dots[{i + 1}] AS dot, {i} AS idx FROM qbase"
+        for i in range(IVF_CELLS)
+    ]
+    return "\nUNION ALL\n".join(arms)
+
+
+ORACLE_ANN_IVF_TOPK = f"""
+WITH n AS ({_DUCK_NORMED}),
+base AS (SELECT vec_id, v, nrm, {_duck_ivf_dots()} AS dots FROM n),
+vec AS (
+  SELECT vec_id, v, nrm,
+         CAST(list_position(dots, list_aggregate(dots, 'max')) AS INT) AS cell
+  FROM base
+),
+qbase AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, dots
+          FROM base WHERE vec_id < {QUERY_SET_SIZE}),
+qcell_all AS (
+{_duck_ivf_qcells()}
+),
+qcells AS (
+  SELECT q_id, qv, qn, cell FROM (
+    SELECT q_id, qv, qn, cell,
+           ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY dot DESC, idx ASC) AS r
+    FROM qcell_all
+  ) WHERE r <= {IVF_NPROBE}
+),
+pairs AS (
+  SELECT q.q_id, vec.vec_id,
+         ROUND(list_dot_product(q.qv, vec.v) / (q.qn * vec.nrm), 9) AS cos9
+  FROM qcells q JOIN vec ON q.cell = vec.cell
+  WHERE q.q_id <> vec.vec_id
+),
+ranked AS (
+  SELECT q_id, vec_id, cos9,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos9 DESC, vec_id ASC) AS rnk
+  FROM pairs
+)
+SELECT q_id, vec_id AS neighbor_id, ROUND(cos9, 4) AS cosine, rnk
+FROM ranked WHERE rnk <= {TOPK}
+"""
 
 
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -285,6 +408,7 @@ QUERIES = {
     "knn_brute_topk": q_knn_brute_topk,
     "ann_lsh_buckets": q_ann_lsh_buckets,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
     "embedding_near_dups": q_embedding_near_dups,
 }
 
@@ -292,5 +416,6 @@ ORACLES = {
     "knn_brute_topk": ORACLE_KNN_BRUTE_TOPK,
     "ann_lsh_buckets": ORACLE_ANN_LSH_BUCKETS,
     "ann_lsh_topk": ORACLE_ANN_LSH_TOPK,
+    "ann_ivf_topk": ORACLE_ANN_IVF_TOPK,
     "embedding_near_dups": ORACLE_EMBEDDING_NEAR_DUPS,
 }

@@ -132,6 +132,35 @@ def test_embedding_near_dups_recall_at_small_sf(spark):
         assert routed == exhaustive, (sf, routed, exhaustive)
 
 
+def test_ann_ivf_plan_and_recall(spark):
+    """IVF probe plan: candidates via equi-join on cell (no cartesian),
+    and probing NPROBE=2 of 8 cells still recovers a reasonable share
+    of the exact top-5 (random 64-dim vectors are near-orthogonal, so
+    coarse quantization is weak here — the floor just guards against a
+    broken assignment that would send recall to ~0)."""
+    from readability_py_spark.operators.similarity import (
+        QUERY_SET_SIZE,
+        TOPK,
+        q_ann_ivf_topk,
+        q_knn_brute_topk,
+    )
+
+    df = q_ann_ivf_topk(spark, SF_ORACLE)
+    plan = _physical_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert re.search(r"cell#\d+", plan), plan
+
+    ivf = {(r["q_id"], r["neighbor_id"]) for r in df.collect()}
+    brute = {
+        (r["q_id"], r["neighbor_id"])
+        for r in q_knn_brute_topk(spark, SF_ORACLE).collect()
+    }
+    assert len(ivf) == QUERY_SET_SIZE * TOPK
+    recall = len(ivf & brute) / len(brute)
+    assert recall >= 0.15, f"IVF recall collapsed: {recall}"
+
+
 # ---------------------------------------------------------------------------
 # real image header decode
 # ---------------------------------------------------------------------------
