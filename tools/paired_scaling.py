@@ -184,6 +184,8 @@ def main() -> None:
             "input": PAGES_DIR,
             "docs": DOCS,
             "oversize_every": OVERSIZE_EVERY,
+            "arrow_batch": os.environ.get("SPARK_GRAFT_ARROW_BATCH", "256"),
+            "buckets": os.environ.get("SPARK_GRAFT_BUCKETS", "128"),
         },
     }
     print(json.dumps(result, indent=2))

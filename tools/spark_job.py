@@ -63,12 +63,19 @@ def main() -> None:
     from readability_py_spark.plans.extract_job import extraction_plan
 
     bucketed = False
+    # bucket count is the task-granularity knob on the zero-exchange
+    # path (tasks == buckets; no repartition happens downstream).
+    # 128 ≈ 4 tasks/core at 32 cores; corpora with MB-outlier docs
+    # want finer buckets so an outlier-carrying task drags less
+    # normal-doc ballast into the last wave (round-3 skew finding).
+    n_buckets = int(_os.environ.get("SPARK_GRAFT_BUCKETS", "128"))
     if args.input:
         if args.bucketed:
-            # one-time ingest: bucket the corpus by url (128 buckets ≈
-            # 4 tasks/core at 32 cores); every subsequent extraction
-            # reads the bucketed table and never shuffles
-            tbl = "pages_b_" + args.input.rstrip("/").rsplit("_", 1)[-1]
+            # one-time ingest: bucket the corpus by url; every
+            # subsequent extraction reads the bucketed table and
+            # never shuffles
+            suffix = args.input.rstrip("/").rsplit("_", 1)[-1]
+            tbl = f"pages_b_{suffix}_{n_buckets}"
             loc = _os.path.join(repo, ".data", "warehouse", f"{tbl}_ext")
             if not spark.catalog.tableExists(tbl):
                 if not _os.path.exists(loc):
@@ -81,8 +88,8 @@ def main() -> None:
                         # this every write task spills a sliver into
                         # every bucket (observed 32 files/bucket → 4k
                         # footer opens per scan, +60% wall at 8 cores)
-                        .repartition(128, F.col("url"))
-                        .write.bucketBy(128, "url")
+                        .repartition(n_buckets, F.col("url"))
+                        .write.bucketBy(n_buckets, "url")
                         .format("parquet")
                         .mode("overwrite")
                         .option("path", loc)
@@ -94,7 +101,7 @@ def main() -> None:
                     spark.sql(
                         f"CREATE TABLE {tbl} (url STRING, warc_ts TIMESTAMP, "
                         "html BINARY, text STRING, lang STRING) USING parquet "
-                        "CLUSTERED BY (url) INTO 128 BUCKETS "
+                        f"CLUSTERED BY (url) INTO {n_buckets} BUCKETS "
                         f"LOCATION '{loc}'"
                     )
             pages = spark.table(tbl)
