@@ -44,6 +44,7 @@ HEADLINE = [
     "embedding_near_dups",
     "token_stats",
     "quality_score",
+    "quality_gopher",
     "doc_fingerprint",
     "cube_orders",
     "price_quartiles",

