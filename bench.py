@@ -45,6 +45,7 @@ HEADLINE = [
     "token_stats",
     "quality_score",
     "quality_gopher",
+    "repetition_stats",
     "doc_fingerprint",
     "cube_orders",
     "price_quartiles",

@@ -297,12 +297,142 @@ FROM w
 """
 
 
+# Repetition thresholds (Gopher Appendix A1.1): remove a doc when the
+# most common 2-gram covers > 0.20 of characters, or duplicated
+# 5-grams cover > 0.15. Coverage here is the standard streaming
+# approximation (count x gram_chars / total_chars, capped at 1.0 —
+# overlaps are not interval-unioned), and the "most common" 2-gram is
+# resolved as MAX(count x gram_chars): a pure maximum needs no
+# cross-engine tie-break when two grams share a count.
+REP_TOP2_MAX = 0.20
+REP_DUP5_MAX = 0.15
+
+
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition signals — the other half of the
+    Gopher filter family (quality_gopher covers the scalar rules).
+
+    Scale shape: explode n-grams → groupBy (doc_id, gram) with
+    map-side partial counts → per-doc aggregate → broadcast-join the
+    tiny per-doc stats back to documents. Shuffle key (doc_id, gram)
+    is high-cardinality and uniform; nothing quadratic."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.lower(F.col("text")).alias("low"),
+        F.length("text").alias("chars"),
+    )
+    words = F.split(F.trim(F.col("low")), r"\s+")
+
+    def grams(n: int):
+        w = words
+        return F.when(
+            F.size(w) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(w) - (n - 1)),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(w, i + j) for j in range(n)]
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    g2 = docs.select("doc_id", "chars", F.explode(grams(2)).alias("g"))
+    top2 = (
+        g2.groupBy("doc_id", "chars", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id", "chars")
+        .agg(F.max(F.col("c") * F.length("g")).alias("top2_chars"))
+        .select(
+            "doc_id",
+            F.round(
+                F.least(
+                    F.lit(1.0), F.col("top2_chars").cast("double") / F.col("chars")
+                ),
+                4,
+            ).alias("top2gram_frac"),
+        )
+    )
+    g5 = docs.select("doc_id", "chars", F.explode(grams(5)).alias("g"))
+    dup5 = (
+        g5.groupBy("doc_id", "chars", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .groupBy("doc_id", "chars")
+        .agg(F.sum(F.col("c") * F.length("g")).alias("dup5_chars"))
+        .select(
+            "doc_id",
+            F.round(
+                F.least(
+                    F.lit(1.0), F.col("dup5_chars").cast("double") / F.col("chars")
+                ),
+                4,
+            ).alias("dup5gram_frac"),
+        )
+    )
+    out = (
+        docs.select("doc_id")
+        .join(top2, "doc_id", "left")
+        .join(dup5, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("top2gram_frac", F.lit(0.0)).alias("top2gram_frac"),
+            F.coalesce("dup5gram_frac", F.lit(0.0)).alias("dup5gram_frac"),
+        )
+    )
+    return out.select(
+        "doc_id",
+        "top2gram_frac",
+        "dup5gram_frac",
+        (F.col("top2gram_frac") <= REP_TOP2_MAX).alias("ok_top2gram"),
+        (F.col("dup5gram_frac") <= REP_DUP5_MAX).alias("ok_dup5gram"),
+    )
+
+
+def _duck_grams(n: int) -> str:
+    w = r"regexp_split_to_array(trim(lower(text)), '\s+')"
+    parts = " || ' ' || ".join(f"{w}[i+{j}]" for j in range(n))
+    return (
+        f"CASE WHEN len({w}) >= {n} THEN "
+        f"list_transform(range(1, len({w}) - {n - 2}), i -> {parts}) "
+        f"ELSE [] END"
+    )
+
+
+ORACLE_REPETITION_STATS = rf"""
+WITH d AS (SELECT doc_id, text, length(text) AS chars FROM documents),
+g2 AS (
+  SELECT doc_id, chars, unnest({_duck_grams(2)}) AS g FROM d
+),
+top2 AS (
+  SELECT doc_id, ROUND(least(1.0, CAST(MAX(c * length(g)) AS DOUBLE) / chars), 4) AS top2gram_frac
+  FROM (SELECT doc_id, chars, g, COUNT(*) AS c FROM g2 GROUP BY doc_id, chars, g)
+  GROUP BY doc_id, chars
+),
+g5 AS (
+  SELECT doc_id, chars, unnest({_duck_grams(5)}) AS g FROM d
+),
+dup5 AS (
+  SELECT doc_id, ROUND(least(1.0, CAST(SUM(c * length(g)) AS DOUBLE) / chars), 4) AS dup5gram_frac
+  FROM (SELECT doc_id, chars, g, COUNT(*) AS c FROM g5 GROUP BY doc_id, chars, g)
+  WHERE c >= 2
+  GROUP BY doc_id, chars
+)
+SELECT d.doc_id,
+       COALESCE(top2.top2gram_frac, 0.0) AS top2gram_frac,
+       COALESCE(dup5.dup5gram_frac, 0.0) AS dup5gram_frac,
+       COALESCE(top2.top2gram_frac, 0.0) <= {REP_TOP2_MAX} AS ok_top2gram,
+       COALESCE(dup5.dup5gram_frac, 0.0) <= {REP_DUP5_MAX} AS ok_dup5gram
+FROM d
+LEFT JOIN top2 ON d.doc_id = top2.doc_id
+LEFT JOIN dup5 ON d.doc_id = dup5.doc_id
+"""
+
+
 QUERIES = {
     "vocab_topk": q_vocab_topk,
     "token_stats": q_token_stats,
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
     "quality_gopher": q_quality_gopher,
+    "repetition_stats": q_repetition_stats,
     "doc_fingerprint": q_doc_fingerprint,
 }
 
@@ -312,5 +442,6 @@ ORACLES = {
     "lang_id": ORACLE_LANG_ID,
     "quality_score": ORACLE_QUALITY_SCORE,
     "quality_gopher": ORACLE_QUALITY_GOPHER,
+    "repetition_stats": ORACLE_REPETITION_STATS,
     "doc_fingerprint": ORACLE_DOC_FINGERPRINT,
 }
