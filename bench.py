@@ -46,6 +46,7 @@ HEADLINE = [
     "quality_score",
     "quality_gopher",
     "repetition_stats",
+    "url_normalize",
     "doc_fingerprint",
     "cube_orders",
     "price_quartiles",

@@ -9,12 +9,12 @@ from __future__ import annotations
 
 
 def merged_queries():
-    from . import dedup, multimodal, relational, similarity, textstats
+    from . import dedup, multimodal, relational, similarity, textstats, urls
     from ..plans import extract_job
 
     q: dict = {}
     o: dict = {}
-    for mod in (relational, dedup, similarity, textstats, multimodal):
+    for mod in (relational, dedup, similarity, textstats, multimodal, urls):
         q.update(mod.QUERIES)
         o.update(mod.ORACLES)
     q["extract_articles"] = extract_job.extract_articles_query

@@ -1,0 +1,130 @@
+"""URL canonicalization — the crawl-side normalization every dedup and
+resume key depends on (a url is THE identity key of the extraction
+pipeline: dedup-latest, the done-manifest anti-join, and bucketing all
+hash it, so two spellings of one page must collapse BEFORE any of
+them run).
+
+Rules (standard crawl canonicalization, all pure JVM regex — map-only,
+no shuffle; the DuckDB twin runs byte-identical regexes):
+
+1. lowercase scheme and host (authority only — paths stay cased)
+2. strip default ports (:80 for http, :443 for https)
+3. drop the fragment
+4. drop tracking query params (utm_*, ref, fbclid, gclid), preserving
+   the order of surviving params
+5. emit md5(normalized) as the join/bucket key
+
+The driver testdata has no url column, so the queries() entry
+synthesizes deterministic MESSY urls from (source, doc_id) — mixed
+host case, default ports, tracking params in several positions, and
+fragments — then normalizes them; the oracle builds and normalizes
+the identical strings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import load_table
+
+TRACKING = "utm_[a-z]+|ref|fbclid|gclid"
+_AUTH = "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*"
+
+
+def normalize_url(col: Column) -> Column:
+    """Canonical url from a raw url column (rules in module doc)."""
+    u = F.regexp_replace(col, "#.*$", "")  # 3. fragment
+    # 4a. tracking param with a following param: keep the separator
+    u = F.regexp_replace(u, rf"([?&])(?:{TRACKING})=[^&#]*&", "$1")
+    # 4b. trailing tracking param: drop its separator too
+    u = F.regexp_replace(u, rf"[?&](?:{TRACKING})=[^&#]*$", "")
+    # 4a can leave a lone '?&' → '?', and 4b a bare trailing '?'
+    u = F.regexp_replace(u, r"\?&", "?")
+    u = F.regexp_replace(u, r"[?&]$", "")
+    auth = F.lower(F.regexp_extract(u, _AUTH, 0))  # 1. lowercase authority
+    auth = F.regexp_replace(auth, ":80$", "")  # 2. default ports
+    auth = F.regexp_replace(auth, ":443$", "")
+    rest = F.regexp_replace(u, _AUTH, "")
+    return F.concat(auth, rest)
+
+
+_DUCK_AUTH = _AUTH
+_D_TRK = TRACKING
+
+
+def _duck_normalize(expr: str) -> str:
+    u = f"regexp_replace({expr}, '#.*$', '', 'g')"
+    u = f"regexp_replace({u}, '([?&])(?:{_D_TRK})=[^&#]*&', '\\1', 'g')"
+    u = f"regexp_replace({u}, '[?&](?:{_D_TRK})=[^&#]*$', '', 'g')"
+    u = f"regexp_replace({u}, '\\?&', '?', 'g')"
+    u = f"regexp_replace({u}, '[?&]$', '', 'g')"
+    auth = f"regexp_replace(regexp_replace(lower(regexp_extract({u}, '{_DUCK_AUTH}', 0)), ':80$', ''), ':443$', '')"
+    rest = f"regexp_replace({u}, '{_DUCK_AUTH}', '', 'g')"
+    return f"({auth} || {rest})"
+
+
+def _messy_url() -> Column:
+    """Deterministic messy url per doc: case-mixed host, default port,
+    tracking params in first/middle/last positions, fragment."""
+    d = F.col("doc_id")
+    base = F.concat(
+        F.when(d % 2 == 0, F.lit("HTTP://")).otherwise(F.lit("https://")),
+        F.upper(F.col("source")),
+        F.lit(".Example.COM"),
+        F.when(d % 2 == 0, F.lit(":80")).otherwise(F.lit(":443")),
+        F.lit("/Docs/"),
+        d.cast("string"),
+        F.lit(".html"),
+    )
+    q = (
+        F.when(
+            d % 3 == 0,
+            F.concat(
+                F.lit("?utm_source=feed&id="), d.cast("string"),
+                F.lit("&utm_campaign=x"),
+            ),
+        )
+        .when(
+            d % 3 == 1,
+            F.concat(F.lit("?id="), d.cast("string"), F.lit("&ref=tw")),
+        )
+        .otherwise(F.lit("?utm_medium=social"))
+    )
+    return F.concat(base, q, F.lit("#section-2"))
+
+
+def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    raw = _messy_url()
+    norm = normalize_url(raw)
+    return docs.select(
+        "doc_id",
+        raw.alias("raw_url"),
+        norm.alias("norm_url"),
+        F.md5(F.encode(norm, "utf-8")).alias("url_key"),
+    )
+
+
+_DUCK_MESSY = """(
+  CASE WHEN doc_id % 2 = 0 THEN 'HTTP://' ELSE 'https://' END
+  || upper(source) || '.Example.COM'
+  || CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END
+  || '/Docs/' || CAST(doc_id AS VARCHAR) || '.html'
+  || CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed&id=' || CAST(doc_id AS VARCHAR) || '&utm_campaign=x'
+          WHEN doc_id % 3 = 1 THEN '?id=' || CAST(doc_id AS VARCHAR) || '&ref=tw'
+          ELSE '?utm_medium=social' END
+  || '#section-2'
+)"""
+
+ORACLE_URL_NORMALIZE = f"""
+SELECT doc_id,
+       {_DUCK_MESSY} AS raw_url,
+       {_duck_normalize(_DUCK_MESSY)} AS norm_url,
+       md5({_duck_normalize(_DUCK_MESSY)}) AS url_key
+FROM documents
+"""
+
+
+QUERIES = {"url_normalize": q_url_normalize}
+ORACLES = {"url_normalize": ORACLE_URL_NORMALIZE}
