@@ -35,16 +35,25 @@ _AUTH = "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*"
 def normalize_url(col: Column) -> Column:
     """Canonical url from a raw url column (rules in module doc)."""
     u = F.regexp_replace(col, "#.*$", "")  # 3. fragment
-    # 4a. tracking param with a following param: keep the separator
-    u = F.regexp_replace(u, rf"([?&])(?:{TRACKING})=[^&#]*&", "$1")
-    # 4b. trailing tracking param: drop its separator too
-    u = F.regexp_replace(u, rf"[?&](?:{TRACKING})=[^&#]*$", "")
+    # 4a. RUN of tracking params each followed by another param: keep
+    # the separator. The `(?:...)+` run matters (advisor round 3): a
+    # single-match regex consumes the trailing '&', so the scan resumes
+    # past the next param and only the first of adjacent tracking
+    # params would be removed ('?utm_source=a&utm_medium=b&id=3' must
+    # collapse to '?id=3', not '?utm_medium=b&id=3').
+    u = F.regexp_replace(u, rf"([?&])(?:(?:{TRACKING})=[^&#]*&)+", "$1")
+    # 4b. trailing tracking param(s): drop the leading separator too
+    u = F.regexp_replace(u, rf"[?&](?:{TRACKING})=[^&#]*(?:&(?:{TRACKING})=[^&#]*)*$", "")
     # 4a can leave a lone '?&' → '?', and 4b a bare trailing '?'
     u = F.regexp_replace(u, r"\?&", "?")
     u = F.regexp_replace(u, r"[?&]$", "")
     auth = F.lower(F.regexp_extract(u, _AUTH, 0))  # 1. lowercase authority
-    auth = F.regexp_replace(auth, ":80$", "")  # 2. default ports
-    auth = F.regexp_replace(auth, ":443$", "")
+    # 2. default ports — scheme-conditioned (advisor round 3): ':80' is
+    # the default only for http, ':443' only for https; stripping the
+    # wrong one conflates genuinely distinct origins (https://h:80 is
+    # NOT https://h).
+    auth = F.regexp_replace(auth, r"^(http://[^:/]*):80$", "$1")
+    auth = F.regexp_replace(auth, r"^(https://[^:/]*):443$", "$1")
     rest = F.regexp_replace(u, _AUTH, "")
     return F.concat(auth, rest)
 
@@ -55,11 +64,14 @@ _D_TRK = TRACKING
 
 def _duck_normalize(expr: str) -> str:
     u = f"regexp_replace({expr}, '#.*$', '', 'g')"
-    u = f"regexp_replace({u}, '([?&])(?:{_D_TRK})=[^&#]*&', '\\1', 'g')"
-    u = f"regexp_replace({u}, '[?&](?:{_D_TRK})=[^&#]*$', '', 'g')"
+    u = f"regexp_replace({u}, '([?&])(?:(?:{_D_TRK})=[^&#]*&)+', '\\1', 'g')"
+    u = f"regexp_replace({u}, '[?&](?:{_D_TRK})=[^&#]*(?:&(?:{_D_TRK})=[^&#]*)*$', '', 'g')"
     u = f"regexp_replace({u}, '\\?&', '?', 'g')"
     u = f"regexp_replace({u}, '[?&]$', '', 'g')"
-    auth = f"regexp_replace(regexp_replace(lower(regexp_extract({u}, '{_DUCK_AUTH}', 0)), ':80$', ''), ':443$', '')"
+    auth = (
+        f"regexp_replace(regexp_replace(lower(regexp_extract({u}, '{_DUCK_AUTH}', 0)), "
+        f"'^(http://[^:/]*):80$', '\\1'), '^(https://[^:/]*):443$', '\\1')"
+    )
     rest = f"regexp_replace({u}, '{_DUCK_AUTH}', '', 'g')"
     return f"({auth} || {rest})"
 
@@ -80,14 +92,18 @@ def _messy_url() -> Column:
     q = (
         F.when(
             d % 3 == 0,
+            # ADJACENT tracking params before the kept one — the common
+            # real-world shape (advisor round 3): a run must collapse
+            # in one pass, leaving just '?id=N'.
             F.concat(
-                F.lit("?utm_source=feed&id="), d.cast("string"),
+                F.lit("?utm_source=feed&utm_medium=rss&id="),
+                d.cast("string"),
                 F.lit("&utm_campaign=x"),
             ),
         )
         .when(
             d % 3 == 1,
-            F.concat(F.lit("?id="), d.cast("string"), F.lit("&ref=tw")),
+            F.concat(F.lit("?id="), d.cast("string"), F.lit("&ref=tw&fbclid=z")),
         )
         .otherwise(F.lit("?utm_medium=social"))
     )
@@ -111,8 +127,8 @@ _DUCK_MESSY = """(
   || upper(source) || '.Example.COM'
   || CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END
   || '/Docs/' || CAST(doc_id AS VARCHAR) || '.html'
-  || CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed&id=' || CAST(doc_id AS VARCHAR) || '&utm_campaign=x'
-          WHEN doc_id % 3 = 1 THEN '?id=' || CAST(doc_id AS VARCHAR) || '&ref=tw'
+  || CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed&utm_medium=rss&id=' || CAST(doc_id AS VARCHAR) || '&utm_campaign=x'
+          WHEN doc_id % 3 = 1 THEN '?id=' || CAST(doc_id AS VARCHAR) || '&ref=tw&fbclid=z'
           ELSE '?utm_medium=social' END
   || '#section-2'
 )"""
