@@ -78,7 +78,9 @@ def main() -> None:
         shuffle_partitions=str(max(int(cpus), 8)),
     )
     spark.sparkContext.setLogLevel("WARN")
-    qmap, _ = merged_queries()
+    # include_retired: the bench keeps timing driver-retired sub-plan
+    # queries (e.g. media_decode_stub) for round-over-round continuity
+    qmap, _ = merged_queries(include_retired=True)
 
     # Warm up codegen/scan machinery once so the first timed query
     # isn't charged JVM JIT + noop-sink classloading.
