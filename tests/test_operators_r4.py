@@ -43,6 +43,46 @@ def test_normalize_url_edge_cases_spark(spark):
     assert got == [want for _, want in URL_CASES]
 
 
+def test_repetition_stats_plan_is_map_only(spark):
+    """The round-4 rewrite computes both Gopher repetition stats in-row
+    (sorted-run fold); the plan must contain NO exchange — the round-3
+    version shuffled ~7x the corpus text volume through two explode →
+    groupBy stages."""
+    from readability_py_spark.operators.textstats import q_repetition_stats
+
+    df = q_repetition_stats(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # exactly one exchange: the round-robin that parallelizes the
+    # single-file test scan; no hash shuffle of gram rows anywhere
+    assert plan.count("Exchange") == 1, plan
+    assert "roundrobin" in plan.lower(), plan
+    assert "hashpartitioning" not in plan.lower(), plan
+
+
+def test_repetition_fold_known_values(spark):
+    """Hand-checked fold values: 'a b a b a b' → top 2-gram 'a b' (x3,
+    len 3) over 11 chars; dup 5-grams 'a b a b a' x1 + 'b a b a b' x1
+    → no dup run (each distinct 5-gram occurs once)."""
+    from readability_py_spark.operators.textstats import repetition_cols
+
+    df = spark.createDataFrame(
+        [("a b a b a b",), ("x y z",), ("",), ("w w w w w w w w",)], ["text"]
+    )
+    top2, dup5 = repetition_cols(F.col("text"))
+    rows = df.select(top2.alias("t"), dup5.alias("d")).collect()
+    # 'a b a b a b': 2-grams [a b, b a, a b, b a, a b] → 'a b' x3 → 9/11
+    assert rows[0]["t"] == round(9 / 11, 4)
+    # 5-grams 'a b a b a','b a b a b' each once → dup coverage 0
+    assert rows[0]["d"] == 0.0
+    # 'x y z': top 2-gram x1 len 3 → 3/5; no 5-grams
+    assert rows[1]["t"] == 0.6 and rows[1]["d"] == 0.0
+    # empty doc: no grams, no division by zero
+    assert rows[2]["t"] == 0.0 and rows[2]["d"] == 0.0
+    # 'w w w w w w w w' (15 chars): 2-gram 'w w' x7 -> 21/15 capped 1.0;
+    # 5-gram 'w w w w w' x4 -> 36/15 capped 1.0
+    assert rows[3]["t"] == 1.0 and rows[3]["d"] == 1.0
+
+
 def test_normalize_url_edge_cases_duckdb_twin():
     """The DuckDB dialect must normalize the exact same strings to the
     exact same outputs — otherwise the oracle verifies bugs instead of
