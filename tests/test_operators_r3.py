@@ -253,6 +253,8 @@ def test_media_decode_headers_query(spark):
     for r in rows[:50]:
         assert r["width"] == r["doc_id"] % 4093 + 1
         assert r["height"] == (r["doc_id"] * 7) % 2160 + 1
-        expect = "image/png" if r["doc_id"] % 2 == 0 else "image/gif"
+        expect = {0: "image/png", 1: "image/gif", 2: "image/jpeg"}[
+            r["doc_id"] % 3
+        ]
         assert r["media_type"] == expect
-        assert r["n_bytes"] == (33 if r["doc_id"] % 2 == 0 else 14)
+        assert r["n_bytes"] == {0: 33, 1: 14, 2: 126}[r["doc_id"] % 3]

@@ -83,6 +83,57 @@ def test_repetition_fold_known_values(spark):
     assert rows[3]["t"] == 1.0 and rows[3]["d"] == 1.0
 
 
+def _sof0(h, w):
+    return (
+        b"\xff\xc0" + (17).to_bytes(2, "big") + b"\x08"
+        + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+        + b"\x03\x01\x22\x00\x02\x11\x01\x03\x11\x01"
+    )
+
+
+def test_jpeg_marker_walk_fill_bytes_and_termination():
+    """ADVICE r3: 0xFF fill bytes before a marker must be skipped, and
+    the walk must terminate at SOS/EOI instead of reading a bogus
+    segment length."""
+    from readability_py_spark.operators.multimodal import parse_image_header
+
+    soi = b"\xff\xd8\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00" + b"\x00" * 9
+    # fill bytes (several) before SOF0
+    jpg = soi + b"\xff\xff\xff" + _sof0(480, 640)
+    assert parse_image_header(jpg) == ("image/jpeg", 640, 480)
+    # SOS before any SOFn: walk must stop, not decode garbage
+    sos = b"\xff\xda" + (12).to_bytes(2, "big") + b"\x03\x01\x00\x02\x11\x03\x11\x00\x3f\x00"
+    truncated = soi + sos + b"\x12\x34\x56\x78" * 4
+    assert parse_image_header(truncated) is None
+    # EOI terminates
+    assert parse_image_header(soi + b"\xff\xd9" + b"\xff\xc0\xff\xff") is None
+    # restart markers (standalone) are skipped without a length read
+    jpg_rst = soi + b"\xff\xd0" + _sof0(7, 9)
+    assert parse_image_header(jpg_rst) == ("image/jpeg", 9, 7)
+
+
+def test_synth_jpeg_payload_parses(spark):
+    """The synthesized JPEG arm (doc_id % 3 == 2) must round-trip
+    through the real header parser with the doc_id-derived dims."""
+    from readability_py_spark.operators.multimodal import (
+        parse_image_header,
+        synth_image_payloads,
+    )
+
+    rows = (
+        synth_image_payloads(spark, SF_SMOKE)
+        .filter(F.col("doc_id") % 3 == 2)
+        .limit(5)
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        w = r["doc_id"] % 4093 + 1
+        h = (r["doc_id"] * 7) % 2160 + 1
+        assert parse_image_header(bytes(r["payload"])) == ("image/jpeg", w, h)
+        assert len(bytes(r["payload"])) == 126
+
+
 def test_normalize_url_edge_cases_duckdb_twin():
     """The DuckDB dialect must normalize the exact same strings to the
     exact same outputs — otherwise the oracle verifies bugs instead of
