@@ -195,9 +195,10 @@ GROUP BY tok ORDER BY doc_freq DESC, tok ASC LIMIT 50
 # Language Models: ... Gopher", Appendix A1.1 — public thresholds).
 # Applicable subset for single-line documents: word-count bounds,
 # mean-word-length band, symbol-to-word ratio, alpha-word fraction,
-# and the ≥2-distinct-stopword requirement. Line-based rules (bullet/
-# ellipsis line ratios) need newline structure the corpus lacks and
-# are documented out of scope.
+# and the ≥2-distinct-stopword requirement. The line-based rules
+# (bullet/ellipsis line ratios) need newline structure the corpus
+# lacks, so q_gopher_lines synthesizes deterministic newline-bearing
+# docs (same pattern as synth_image_payloads) and gates those.
 GOPHER_MIN_WORDS = 50
 GOPHER_MAX_WORDS = 100_000
 GOPHER_MIN_MWL = 3.0
@@ -467,17 +468,111 @@ LEFT JOIN dup5 ON d.doc_id = dup5.doc_id
 """
 
 
+# Gopher line-based thresholds (Rae et al. 2021, A1.1): remove a doc
+# when > 90% of lines start with a bullet, or > 30% end with an
+# ellipsis.
+GOPHER_MAX_BULLET_FRAC = 0.9
+GOPHER_MAX_ELLIPSIS_FRAC = 0.3
+LINE_WORDS = 8  # synthesized line width (words per line)
+
+
+def synth_line_text() -> F.Column:
+    """Deterministic newline-bearing document text from (doc_id, text):
+    the flat corpus text is re-wrapped into 8-word lines, then lines
+    are decorated so the corpus covers both sides of each rule —
+    doc_id%5==0 → every line bulleted (bullet_frac 1.0, fails),
+    doc_id%5==1 → every 2nd line bulleted (0.5, passes);
+    doc_id%3==0 → every 2nd line ends '...' (fails >0.3),
+    doc_id%3==1 → every 5th line (0.2, passes)."""
+    d = F.col("doc_id")
+    w = F.split(F.trim(F.col("text")), r"\s+")
+    n_lines = F.ceil(F.size(w) / LINE_WORDS).cast("int")
+
+    def deco(i: F.Column) -> F.Column:
+        body = F.concat_ws(" ", F.slice(w, i * LINE_WORDS + 1, LINE_WORDS))
+        bullet = (
+            F.when(d % 5 == 0, F.lit("- "))
+            .when((d % 5 == 1) & (i % 2 == 0), F.lit("* "))
+            .otherwise(F.lit(""))
+        )
+        ell = (
+            F.when((d % 3 == 0) & (i % 2 == 0), F.lit("..."))
+            .when((d % 3 == 1) & (i % 5 == 0), F.lit("..."))
+            .otherwise(F.lit(""))
+        )
+        return F.concat(bullet, body, ell)
+
+    return F.concat_ws(
+        "\n", F.transform(F.sequence(F.lit(0), n_lines - 1), deco)
+    )
+
+
+def q_gopher_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher LINE-based rules (bullet-line and ellipsis-line ratios) —
+    map-only like the scalar rules: split on newline, two in-row
+    filtered counts, zero shuffles. The stats re-split the decorated
+    STRING (not the construction list), and the DuckDB twin does the
+    same, so both engines decode the same bytes independently."""
+    docs = load_table(spark, sf_dir, "documents")
+    lines = F.split(synth_line_text(), "\n")
+    n = F.size(lines)
+    bullets = F.size(F.filter(lines, lambda l: l.rlike(r"^[-*•] ")))
+    ells = F.size(F.filter(lines, lambda l: l.rlike(r"(\.\.\.|…)$")))
+    bullet_frac = F.round(bullets.cast("double") / n, 4)
+    ell_frac = F.round(ells.cast("double") / n, 4)
+    return docs.select(
+        "doc_id",
+        n.alias("n_lines"),
+        bullet_frac.alias("bullet_frac"),
+        ell_frac.alias("ellipsis_frac"),
+        (bullet_frac <= GOPHER_MAX_BULLET_FRAC).alias("ok_bullet_lines"),
+        (ell_frac <= GOPHER_MAX_ELLIPSIS_FRAC).alias("ok_ellipsis_lines"),
+    )
+
+
+_DL_W = r"regexp_split_to_array(trim(text), '\s+')"
+_DL_TEXT = rf"""array_to_string(
+  list_transform(range(0, (len({_DL_W}) + {LINE_WORDS - 1}) // {LINE_WORDS}), i ->
+    (CASE WHEN doc_id % 5 = 0 THEN '- '
+          WHEN doc_id % 5 = 1 AND i % 2 = 0 THEN '* '
+          ELSE '' END)
+    || array_to_string({_DL_W}[i*{LINE_WORDS}+1 : i*{LINE_WORDS}+{LINE_WORDS}], ' ')
+    || (CASE WHEN doc_id % 3 = 0 AND i % 2 = 0 THEN '...'
+             WHEN doc_id % 3 = 1 AND i % 5 = 0 THEN '...'
+             ELSE '' END)),
+  chr(10))"""
+
+ORACLE_GOPHER_LINES = rf"""
+WITH lt AS (SELECT doc_id, string_split({_DL_TEXT}, chr(10)) AS lines FROM documents),
+s AS (
+  SELECT doc_id,
+         len(lines) AS n_lines,
+         len(list_filter(lines, l -> regexp_matches(l, '^[-*•] '))) AS bullets,
+         len(list_filter(lines, l -> regexp_matches(l, '(\.\.\.|…)$'))) AS ells
+  FROM lt
+)
+SELECT doc_id, n_lines,
+       ROUND(CAST(bullets AS DOUBLE) / n_lines, 4) AS bullet_frac,
+       ROUND(CAST(ells AS DOUBLE) / n_lines, 4) AS ellipsis_frac,
+       ROUND(CAST(bullets AS DOUBLE) / n_lines, 4) <= {GOPHER_MAX_BULLET_FRAC} AS ok_bullet_lines,
+       ROUND(CAST(ells AS DOUBLE) / n_lines, 4) <= {GOPHER_MAX_ELLIPSIS_FRAC} AS ok_ellipsis_lines
+FROM s
+"""
+
+
 QUERIES = {
     "vocab_topk": q_vocab_topk,
     "token_stats": q_token_stats,
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
     "quality_gopher": q_quality_gopher,
+    "gopher_lines": q_gopher_lines,
     "repetition_stats": q_repetition_stats,
     "doc_fingerprint": q_doc_fingerprint,
 }
 
 ORACLES = {
+    "gopher_lines": ORACLE_GOPHER_LINES,
     "vocab_topk": ORACLE_VOCAB_TOPK,
     "token_stats": ORACLE_TOKEN_STATS,
     "lang_id": ORACLE_LANG_ID,

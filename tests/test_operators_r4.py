@@ -134,6 +134,27 @@ def test_synth_jpeg_payload_parses(spark):
         assert len(bytes(r["payload"])) == 126
 
 
+def test_gopher_lines_covers_both_sides(spark):
+    """The synthesized newline corpus must exercise pass AND fail
+    populations of both line rules (otherwise the thresholds are
+    untested) and stay map-only apart from the test-scan repartition."""
+    from readability_py_spark.operators.textstats import q_gopher_lines
+
+    df = q_gopher_lines(spark, SF_SMOKE)
+    agg = {
+        (r["ok_bullet_lines"], r["ok_ellipsis_lines"]): r["cnt"]
+        for r in df.groupBy("ok_bullet_lines", "ok_ellipsis_lines")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    assert any(k[0] is False for k in agg), agg
+    assert any(k[0] is True for k in agg), agg
+    assert any(k[1] is False for k in agg), agg
+    assert any(k[1] is True for k in agg), agg
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning" not in plan.lower(), plan
+
+
 def test_normalize_url_edge_cases_duckdb_twin():
     """The DuckDB dialect must normalize the exact same strings to the
     exact same outputs — otherwise the oracle verifies bugs instead of
