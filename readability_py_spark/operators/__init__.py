@@ -40,7 +40,15 @@ RETIRED = {
 
 
 def merged_queries(include_retired: bool = False):
-    from . import dedup, multimodal, relational, similarity, textstats, urls
+    from . import (
+        dedup,
+        multimodal,
+        pipeline,
+        relational,
+        similarity,
+        textstats,
+        urls,
+    )
     from ..plans import extract_job
 
     q: dict = {}
@@ -51,7 +59,7 @@ def merged_queries(include_retired: bool = False):
     o["extract_articles"] = extract_job.ORACLE_EXTRACT_ARTICLES
     q["extract_footnotes"] = extract_job.extract_footnotes_query
     o["extract_footnotes"] = extract_job.ORACLE_EXTRACT_FOOTNOTES
-    for mod in (relational, dedup, similarity, textstats, multimodal, urls):
+    for mod in (relational, dedup, similarity, textstats, multimodal, urls, pipeline):
         q.update(mod.QUERIES)
         o.update(mod.ORACLES)
     if not include_retired:

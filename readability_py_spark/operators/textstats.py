@@ -216,25 +216,18 @@ GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
 TEST_CORPUS_STOPWORDS = ["the", "a"]
 
 
-def q_quality_gopher(
-    spark: SparkSession,
-    sf_dir: str,
-    stop_words: list[str] | None = None,
-) -> DataFrame:
-    """Gopher document-quality rules as pure JVM expressions — the
-    pass/fail gate a 100 TB pretraining pipeline applies right after
-    extraction (map-only: no shuffle, runs inside the scan stage).
-
-    Every rule emits its own boolean so downstream audits can count
-    rejection reasons with one aggregation; `pass` is their AND."""
-    stops = TEST_CORPUS_STOPWORDS if stop_words is None else stop_words
-    docs = load_table(spark, sf_dir, "documents")
-    words = F.split(F.trim(F.col("text")), r"\s+")
+def gopher_flag_cols(
+    text: F.Column, stops: list[str]
+) -> dict[str, F.Column]:
+    """The Gopher scalar rules as named map-only expressions over a
+    text column — shared by q_quality_gopher (which emits every rule
+    boolean) and the composed pipeline gate (which ANDs them)."""
+    words = F.split(F.trim(text), r"\s+")
     wc = F.size(words)
     mwl = F.aggregate(
         words, F.lit(0), lambda a, w: a + F.length(w)
     ).cast("double") / wc
-    low = F.lower(F.col("text"))
+    low = F.lower(text)
     symbols = F.regexp_count(low, F.lit(r"(#|\.\.\.)"))
     alpha_words = F.size(F.filter(words, lambda w: w.rlike("[a-zA-Z]")))
     # compare on letters-only lowercased words: corpus words carry
@@ -253,16 +246,42 @@ def q_quality_gopher(
     r_sym = (symbols.cast("double") / wc) <= GOPHER_MAX_SYMBOL_RATIO
     r_alpha = (alpha_words.cast("double") / wc) >= GOPHER_MIN_ALPHA_FRAC
     r_stop = stop_hits >= 2
+    return {
+        "word_count": wc,
+        "mean_word_len": mwl,
+        "ok_word_count": r_wc,
+        "ok_mean_word_len": r_mwl,
+        "ok_symbol_ratio": r_sym,
+        "ok_alpha_words": r_alpha,
+        "ok_stopwords": r_stop,
+        "pass": r_wc & r_mwl & r_sym & r_alpha & r_stop,
+    }
+
+
+def q_quality_gopher(
+    spark: SparkSession,
+    sf_dir: str,
+    stop_words: list[str] | None = None,
+) -> DataFrame:
+    """Gopher document-quality rules as pure JVM expressions — the
+    pass/fail gate a 100 TB pretraining pipeline applies right after
+    extraction (map-only: no shuffle, runs inside the scan stage).
+
+    Every rule emits its own boolean so downstream audits can count
+    rejection reasons with one aggregation; `pass` is their AND."""
+    stops = TEST_CORPUS_STOPWORDS if stop_words is None else stop_words
+    docs = load_table(spark, sf_dir, "documents")
+    c = gopher_flag_cols(F.col("text"), stops)
     return docs.select(
         "doc_id",
-        wc.alias("word_count"),
-        F.round(mwl, 4).alias("mean_word_len"),
-        r_wc.alias("ok_word_count"),
-        r_mwl.alias("ok_mean_word_len"),
-        r_sym.alias("ok_symbol_ratio"),
-        r_alpha.alias("ok_alpha_words"),
-        r_stop.alias("ok_stopwords"),
-        (r_wc & r_mwl & r_sym & r_alpha & r_stop).alias("pass"),
+        c["word_count"].alias("word_count"),
+        F.round(c["mean_word_len"], 4).alias("mean_word_len"),
+        c["ok_word_count"].alias("ok_word_count"),
+        c["ok_mean_word_len"].alias("ok_mean_word_len"),
+        c["ok_symbol_ratio"].alias("ok_symbol_ratio"),
+        c["ok_alpha_words"].alias("ok_alpha_words"),
+        c["ok_stopwords"].alias("ok_stopwords"),
+        c["pass"].alias("pass"),
     )
 
 
@@ -296,6 +315,31 @@ SELECT doc_id,
        AND (stop_hits >= 2) AS pass
 FROM w
 """
+
+
+_D_MWL = (
+    f"(CAST(list_sum(list_transform({_G_WORDS}, x -> length(x))) AS DOUBLE)"
+    f" / len({_G_WORDS}))"
+)
+
+
+def duck_gopher_pass(stops: list[str] | None = None) -> str:
+    """DuckDB expression for the ANDed Gopher scalar rules over a
+    `documents` row (text, doc_id) — the oracle twin of
+    gopher_flag_cols()['pass'], used by the composed pipeline oracle."""
+    stops = TEST_CORPUS_STOPWORDS if stops is None else stops
+    return (
+        f"(len({_G_WORDS}) >= {GOPHER_MIN_WORDS}"
+        f" AND len({_G_WORDS}) <= {GOPHER_MAX_WORDS}"
+        f" AND {_D_MWL} >= {GOPHER_MIN_MWL} AND {_D_MWL} <= {GOPHER_MAX_MWL}"
+        f" AND CAST(len(regexp_extract_all(lower(text), '(#|\\.\\.\\.)')) AS DOUBLE)"
+        f" / len({_G_WORDS}) <= {GOPHER_MAX_SYMBOL_RATIO}"
+        f" AND CAST(len(list_filter({_G_WORDS}, x -> regexp_matches(x, '[a-zA-Z]'))) AS DOUBLE)"
+        f" / len({_G_WORDS}) >= {GOPHER_MIN_ALPHA_FRAC}"
+        f" AND len(list_filter({stops!r}::VARCHAR[],"
+        f" s -> list_contains(list_transform({_G_WORDS},"
+        f" x -> regexp_replace(lower(x), '[^a-z]', '', 'g')), s))) >= 2)"
+    )
 
 
 # Repetition thresholds (Gopher Appendix A1.1): remove a doc when the

@@ -155,6 +155,31 @@ def test_gopher_lines_covers_both_sides(spark):
     assert "hashpartitioning" not in plan.lower(), plan
 
 
+def test_pipeline_gate_shape_and_collapse(spark):
+    """The composed pipeline: (a) gates run BEFORE the dedup shuffle
+    (Filter below the url_key hash exchange; only other exchange is
+    the test-scan round-robin), (b) the two synthesized spellings of
+    a page collapse to one url_key when both crawls pass the gates."""
+    from readability_py_spark.operators.pipeline import q_pipeline_gate
+
+    df = q_pipeline_gate(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    low = plan.lower()
+    assert low.count("exchange hashpartitioning") == 1, plan
+    assert low.count("exchange roundrobin") == 1, plan
+    # tree prints top-down: the pre-shuffle Filter must appear AFTER
+    # (deeper than) the hash exchange in the dump
+    assert low.index("exchange hashpartitioning") < low.rindex("filter"), plan
+    rows = df.collect()
+    cnts = {r["dup_cnt"] for r in rows}
+    assert cnts <= {1, 2}, cnts  # ≤ 2 crawls per page by construction
+    assert 2 in cnts  # some pair where both spellings survived
+    assert 1 in cnts  # some pair where one crawl failed a gate
+    for r in rows:
+        assert r["norm_url"].startswith("http://site")
+        assert "utm" not in r["norm_url"] and ":80" not in r["norm_url"]
+
+
 def test_normalize_url_edge_cases_duckdb_twin():
     """The DuckDB dialect must normalize the exact same strings to the
     exact same outputs — otherwise the oracle verifies bugs instead of
