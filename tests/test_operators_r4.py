@@ -180,6 +180,58 @@ def test_pipeline_gate_shape_and_collapse(spark):
         assert "utm" not in r["norm_url"] and ":80" not in r["norm_url"]
 
 
+def test_minhash_fast_identical_sets_share_signatures(spark):
+    from readability_py_spark.operators.dedup import (
+        _band_signatures,
+        _minhash_fast_col,
+    )
+
+    df = spark.createDataFrame(
+        [(1, ["a b", "b c", "c d"]), (2, ["a b", "b c", "c d"]), (3, ["x y"])],
+        "doc_id long, sh array<string>",
+    )
+    sig = _band_signatures(df, hash_col=_minhash_fast_col)
+    rows = sig.collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], {})[r["band"]] = r["band_sig"]
+    assert by_doc[1] == by_doc[2]
+    assert by_doc[1] != by_doc[3]
+
+
+def test_minhash_fast_lsh_pipeline_equivalence(spark):
+    """The xxhash64 signature family must drive the identical LSH
+    dedup pipeline to the same VERIFIED near-dup pairs as the md5
+    family at test SF (the verify stage re-checks exact Jaccard, so
+    equality holds as long as band recall covers the true pairs)."""
+    from readability_py_spark.operators.dedup import (
+        _band_signatures,
+        _minhash_fast_col,
+        _persist,
+        _shingled,
+        minhash_lsh_dups_from,
+        q_minhash_lsh_dups,
+        release_caches,
+    )
+
+    md5_pairs = {
+        (r["a_id"], r["b_id"], r["jaccard"])
+        for r in q_minhash_lsh_dups(spark, SF_SMOKE).collect()
+    }
+    release_caches()
+    sh = _persist(_shingled(spark, SF_SMOKE).select("doc_id", "sh"))
+    fast_sig = _persist(
+        _band_signatures(_shingled(spark, SF_SMOKE), hash_col=_minhash_fast_col)
+    )
+    fast_pairs = {
+        (r["a_id"], r["b_id"], r["jaccard"])
+        for r in minhash_lsh_dups_from(fast_sig, sh).collect()
+    }
+    release_caches()
+    assert fast_pairs == md5_pairs
+    assert fast_pairs  # non-vacuous: the corpus has near-dups
+
+
 def test_normalize_url_edge_cases_duckdb_twin():
     """The DuckDB dialect must normalize the exact same strings to the
     exact same outputs — otherwise the oracle verifies bugs instead of
