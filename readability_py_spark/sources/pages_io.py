@@ -24,6 +24,20 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+# Cache registry (advisor round 3 — same leak class release_caches()
+# fixed in dedup): read_pages_jsonl must cache the raw scan (Spark
+# refuses corrupt-column-only queries over raw JSON otherwise), and a
+# long-lived session (bench/driver) ingesting repeatedly would
+# accumulate those cached relations without a release hook.
+_PERSISTED: list[DataFrame] = []
+
+
+def release_caches() -> None:
+    """Unpersist every relation cached by the ingest readers (call
+    after the pages/quarantine outputs are materialized; idempotent)."""
+    while _PERSISTED:
+        _PERSISTED.pop().unpersist(blocking=False)
+
 # the on-disk JSONL shape: html is base64 text (JSON has no binary)
 PAGES_JSONL_SCHEMA = T.StructType(
     [
@@ -58,6 +72,7 @@ def read_pages_jsonl(
         # the cache entirely (same audit property, zero memory).
         .cache()
     )
+    _PERSISTED.append(raw)
     quarantine = raw.filter(F.col("_corrupt_record").isNotNull()).select(
         F.col("_corrupt_record").alias("raw_line")
     )

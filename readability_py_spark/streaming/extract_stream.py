@@ -89,7 +89,16 @@ def run_to_parquet_sink(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    # awaitTermination returns False on timeout with the query still
+    # active — returning then would hand the caller a silently
+    # half-written sink (advisor round 3). Stop and raise instead;
+    # the checkpoint makes the next run resume exactly-once.
+    if not q.awaitTermination(180):
+        q.stop()
+        raise TimeoutError(
+            "availableNow drain did not finish within 180s; "
+            "sink is partial — rerun resumes from the checkpoint"
+        )
     return q
 
 
@@ -105,5 +114,7 @@ def run_to_memory_sink(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    if not q.awaitTermination(120):
+        q.stop()
+        raise TimeoutError(f"memory sink '{name}' did not drain within 120s")
     return q

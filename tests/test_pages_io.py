@@ -77,5 +77,25 @@ def test_crawl_manifest_csv(spark, tmp_path):
     assert ok[0]["n_bytes"] in (1234, 99)
 
 
+def test_jsonl_cache_release_hook(spark, tmp_path):
+    """Every read_pages_jsonl cache is registered and release_caches()
+    drops them — a long-lived bench/driver session ingesting many
+    drops must not accumulate cached relations (advisor r3)."""
+    from readability_py_spark.plans.bench_extract import build_pages_df
+    from readability_py_spark.sources import pages_io
+
+    out = str(tmp_path / "drop3")
+    pages_io.write_pages_jsonl(build_pages_df(spark, 5), out)
+    before = len(pages_io._PERSISTED)
+    pages, _ = pages_io.read_pages_jsonl(spark, out)
+    pages.count()
+    assert len(pages_io._PERSISTED) == before + 1
+    cached = pages_io._PERSISTED[-1]
+    assert cached.is_cached
+    pages_io.release_caches()
+    assert not pages_io._PERSISTED
+    assert not cached.is_cached
+
+
 def _b64(s: bytes) -> str:
     return base64.b64encode(s).decode()
