@@ -34,6 +34,7 @@ HEADLINE = [
     "string_stats",
     "candidate_scores",
     "dedup_exact",
+    "minhash_signatures_fast",
     "minhash_lsh_dups",
     "minhash_lsh_capped",
     "simhash_docs",
@@ -45,8 +46,10 @@ HEADLINE = [
     "token_stats",
     "quality_score",
     "quality_gopher",
+    "gopher_lines",
     "repetition_stats",
     "url_normalize",
+    "pipeline_gate",
     "doc_fingerprint",
     "cube_orders",
     "price_quartiles",
