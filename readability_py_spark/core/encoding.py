@@ -5,9 +5,10 @@ cascade (UnicodeDammit, readability.py:2996-3199):
    (readability.py:3107-3172) — including its quirk that the *sniffed*
    encoding is later retried against the already-re-encoded bytes.
 2. XML declaration / <meta charset> regex scan → declared encoding.
-3. Try override encodings, declared, sniffed, then chardet (absent in
-   this environment, exactly like the reference's optional import), then
-   utf-8 and windows-1252 (readability.py:3021-3038).
+3. Try override encodings, declared, sniffed, then chardet (gated
+   optional import, exactly like the reference's — absent in this
+   sandbox so parity is unaffected, active on a cluster that installs
+   it), then utf-8 and windows-1252 (readability.py:3021-3038).
 4. For latin-ish proposals, MS smart-quote bytes 0x80-0x9f are replaced
    with HTML entities *before* decoding (readability.py:3043-3068,
    3217-3248) — smartQuotesTo='html' since the HTML soup is used
@@ -18,6 +19,16 @@ from __future__ import annotations
 
 import codecs
 import re
+
+# Optional auto-detection library, mirroring the reference's gated
+# import (readability.py:2976-2982). Absent in this sandbox for BOTH
+# engines (the python2 oracle can't import it either), so parity tests
+# never exercise it; on a cluster where the reference ran with chardet
+# installed, this closes the undeclared-charset divergence.
+try:  # pragma: no cover - exercised via a fake module in tests
+    import chardet as _chardet
+except ImportError:
+    _chardet = None
 
 CHARSET_ALIASES = {"macintosh": "mac-roman", "x-sjis": "shift-jis"}
 
@@ -114,8 +125,12 @@ class SourceDecoder:
                 u = self._convert_from(enc)
                 if u is not None:
                     break
-        # chardet fallback intentionally absent (optional import in the
-        # reference, not installed here — readability.py:2977-2982)
+        # auto-detection fallback (readability.py:3031-3032): tried
+        # after declared/sniffed, before the utf-8/cp1252 last resort;
+        # only while markup is still bytes (a successful _convert_from
+        # replaces self.markup with str)
+        if u is None and _chardet is not None and isinstance(self.markup, bytes):
+            u = self._convert_from(_chardet.detect(self.markup)["encoding"])
         if u is None:
             for enc in ("utf-8", "windows-1252"):
                 u = self._convert_from(enc)

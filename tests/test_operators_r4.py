@@ -232,6 +232,32 @@ def test_minhash_fast_lsh_pipeline_equivalence(spark):
     assert fast_pairs  # non-vacuous: the corpus has near-dups
 
 
+def test_chardet_branch_gated(monkeypatch):
+    """The reference's optional chardet fallback (readability.py:
+    3031-3032) is now mirrored behind the same gated import: inert in
+    this sandbox (chardet absent for BOTH engines, parity unaffected),
+    active when the library is installed — exercised here via a fake
+    module."""
+    from readability_py_spark.core import encoding as enc
+
+    data = "テスト".encode("shift-jis")  # invalid utf-8, no declaration
+    assert enc._chardet is None  # sandbox: import really failed
+    d0 = enc.SourceDecoder(data)
+    # without detection the cascade lands on the cp1252 last resort
+    assert d0.original_encoding == "windows-1252"
+
+    class FakeChardet:
+        @staticmethod
+        def detect(b):
+            assert isinstance(b, bytes)
+            return {"encoding": "shift-jis"}
+
+    monkeypatch.setattr(enc, "_chardet", FakeChardet)
+    d1 = enc.SourceDecoder(data)
+    assert d1.unicode == "テスト"
+    assert d1.original_encoding == "shift-jis"
+
+
 def test_normalize_url_edge_cases_duckdb_twin():
     """The DuckDB dialect must normalize the exact same strings to the
     exact same outputs — otherwise the oracle verifies bugs instead of
