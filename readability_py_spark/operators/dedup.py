@@ -210,9 +210,19 @@ def _band_signatures(
             for b in range(n_bands)
         ]
     )
-    return d.filter(F.size("sh") > 0).select(
-        "doc_id", F.explode(bands).alias("bs")
-    ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.band_sig").alias("band_sig"))
+    # Empty-shingle docs are dropped AFTER the generate, by their empty
+    # band_sig (array_min over [] is null; concat_ws skips nulls), NOT
+    # by a `filter(size(sh) > 0)` on the input: a source-column filter
+    # is pushed below the parallelizing repartition into the single-
+    # split test scan, and since its predicate inlines the shingle
+    # expression, the WHOLE shingle build ran serially there (and then
+    # again, in parallel, for the signatures) — measured as a full
+    # serial corpus pass. A predicate on the generator's output cannot
+    # cross the Generate, so it stays in the parallel stage; with a
+    # real multi-split scan both forms fuse into the scan stage.
+    return d.select("doc_id", F.explode(bands).alias("bs")).select(
+        "doc_id", F.col("bs.band").alias("band"), F.col("bs.band_sig").alias("band_sig")
+    ).filter(F.col("band_sig") != "")
 
 
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -248,13 +258,12 @@ def q_minhash_signatures_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     (VERDICT r3 item 7). Which path production runs: THIS one — at
     100 TB the signature build dominates LSH dedup cost, md5 is forced
     elsewhere only because it is the one hash both Spark and DuckDB
-    implement (the oracle-parity constraint), and xxhash64's
-    per-permutation cost is ~6× cheaper JVM-side (measured sf0.1 A/B
-    in BENCH.md: the k64−k12 build-time delta is 0.15s for xxhash64
-    vs 0.87s for md5; end-to-end k=64 build 3.3s vs 4.3s, since
-    shingle-array construction dominates at this doc size — the hash
-    term scales with shingles×k, so the gap widens with k and doc
-    length). Driver check is rows-only (DuckDB has no xxhash64);
+    implement (the oracle-parity constraint), and xxhash64 is ~35×
+    cheaper per permutation JVM-side (steal-gated sf0.1 A/B in
+    BENCH.md: k64−k12 build-time delta 0.56s md5 vs ~0.015s xxhash64;
+    end-to-end k=64 build 1.18s vs 0.42s — at production k and doc
+    length the hash term, which scales with shingles×k, dominates).
+    Driver check is rows-only (DuckDB has no xxhash64);
     collision/equivalence behavior vs the md5 family is pytest-pinned
     (tests/test_operators_r4.py): identical shingle sets ⇒ identical
     signatures, and the full LSH dedup pipeline over either family

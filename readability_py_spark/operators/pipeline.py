@@ -76,10 +76,25 @@ def q_pipeline_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     flags = gopher_flag_cols(F.col("text"), TEST_CORPUS_STOPWORDS)
     top2, dup5 = repetition_cols(F.col("text"))
     keep = flags["pass"] & (top2 <= REP_TOP2_MAX) & (dup5 <= REP_DUP5_MAX)
-    gated = docs.filter(keep).select(
-        "doc_id",
+    # The gate is a Generate (inline of a conditional singleton array),
+    # NOT a Filter: Catalyst pushes a deterministic source-column
+    # Filter below the parallelizing repartition into the single-split
+    # test scan, which would evaluate every gate expression (both
+    # repetition folds included) serially on one core — measured 16 s
+    # vs ~2 s. A Generate cannot be pushed below the exchange, so the
+    # gates run in the parallel stage here; on a real multi-split scan
+    # (no repartition needed) the Generate sits directly on the scan
+    # and fuses into the scan stage exactly like the Filter would.
+    unit = F.struct(
+        F.col("doc_id").alias("doc_id"),
         F.md5(F.encode(norm, "utf-8")).alias("url_key"),
         norm.alias("norm_url"),
+    )
+    empty = F.array().cast(
+        "array<struct<doc_id:bigint,url_key:string,norm_url:string>>"
+    )
+    gated = docs.select(
+        F.inline(F.when(keep, F.array(unit)).otherwise(empty))
     )
     return gated.groupBy("url_key").agg(
         F.min("doc_id").alias("keep_doc_id"),

@@ -157,9 +157,11 @@ def test_gopher_lines_covers_both_sides(spark):
 
 def test_pipeline_gate_shape_and_collapse(spark):
     """The composed pipeline: (a) gates run BEFORE the dedup shuffle
-    (Filter below the url_key hash exchange; only other exchange is
-    the test-scan round-robin), (b) the two synthesized spellings of
-    a page collapse to one url_key when both crawls pass the gates."""
+    but ABOVE the scan-parallelizing round-robin (the gate is a
+    Generate, which Catalyst cannot push into the single-split test
+    scan the way it pushes a Filter), (b) the two synthesized
+    spellings of a page collapse to one url_key when both crawls pass
+    the gates."""
     from readability_py_spark.operators.pipeline import q_pipeline_gate
 
     df = q_pipeline_gate(spark, SF_SMOKE)
@@ -167,9 +169,12 @@ def test_pipeline_gate_shape_and_collapse(spark):
     low = plan.lower()
     assert low.count("exchange hashpartitioning") == 1, plan
     assert low.count("exchange roundrobin") == 1, plan
-    # tree prints top-down: the pre-shuffle Filter must appear AFTER
-    # (deeper than) the hash exchange in the dump
-    assert low.index("exchange hashpartitioning") < low.rindex("filter"), plan
+    # tree prints top-down (shallower first): hash exchange, then the
+    # gating Generate, then the round-robin exchange feeding it
+    i_hash = low.index("exchange hashpartitioning")
+    i_gen = low.index("generate")
+    i_rr = low.index("exchange roundrobin")
+    assert i_hash < i_gen < i_rr, plan
     rows = df.collect()
     cnts = {r["dup_cnt"] for r in rows}
     assert cnts <= {1, 2}, cnts  # ≤ 2 crawls per page by construction
