@@ -362,8 +362,16 @@ def q_minhash_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = _persist(_band_signatures(
         d, k=MINHASH_K_PROD, band_size=MINHASH_BAND_SIZE_PROD
     ))
-    cnt = sig.groupBy("band", "band_sig").agg(F.count(F.lit(1)).alias("c"))
-    small = sig.join(cnt.filter(F.col("c") <= LSH_BUCKET_CAP), ["band", "band_sig"])
+    # Bucket size via a window count, not groupBy + join-back: one hash
+    # shuffle on the band key gives every signature row its bucket size
+    # directly, where the join formulation cost two extra shuffles (the
+    # aggregate + an SMJ re-join) for both the small and hot splits.
+    # The bucket-count relation is O(corpus × bands) at 100 TB — never
+    # broadcastable — so removing the join entirely beats hinting it.
+    sig_c = sig.withColumn(
+        "c", F.count(F.lit(1)).over(Window.partitionBy("band", "band_sig"))
+    )
+    small = sig_c.filter(F.col("c") <= LSH_BUCKET_CAP)
     a = small.alias("a")
     b = small.alias("b")
     cand = (
@@ -389,9 +397,7 @@ def q_minhash_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # hot buckets → exact-dup side channel (linear: pair with group min)
     hot_docs = (
-        sig.join(cnt.filter(F.col("c") > LSH_BUCKET_CAP), ["band", "band_sig"])
-        .select("doc_id")
-        .distinct()
+        sig_c.filter(F.col("c") > LSH_BUCKET_CAP).select("doc_id").distinct()
     )
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.md5(F.encode(F.col("text"), "utf-8")).alias("fp")
@@ -578,14 +584,19 @@ def _simhash_pairs_capped_sql(dialect: str) -> str:
         ham = "bit_count(a.simhash ^ b.simhash)"
         fp = "md5(encode(d.text, 'utf-8'))"
         banded = f"(SELECT doc_id, simhash, {shr16} AS hi16 FROM simhash_sig_cached)"
-        cnt = f"(SELECT hi16, COUNT(*) AS c FROM {banded} cb GROUP BY hi16)"
+        # bucket size via a window count over the cached signature
+        # relation (one hash shuffle on hi16), not a GROUP BY + SMJ
+        # join-back — same rationale as q_minhash_lsh_capped
+        bandc = (
+            f"(SELECT doc_id, simhash, hi16, "
+            f"COUNT(*) OVER (PARTITION BY hi16) AS c FROM {banded} cb)"
+        )
         small = (
-            f"(SELECT b.doc_id, b.simhash, b.hi16 FROM {banded} b "
-            f"JOIN {cnt} c ON b.hi16 = c.hi16 WHERE c.c <= {LSH_BUCKET_CAP})"
+            f"(SELECT s.doc_id, s.simhash, s.hi16 FROM {bandc} s "
+            f"WHERE s.c <= {LSH_BUCKET_CAP})"
         )
         hot = (
-            f"(SELECT b.doc_id FROM {banded} b "
-            f"JOIN {cnt} c ON b.hi16 = c.hi16 WHERE c.c > {LSH_BUCKET_CAP})"
+            f"(SELECT h.doc_id FROM {bandc} h WHERE h.c > {LSH_BUCKET_CAP})"
         )
         return f"""
 SELECT a_id, b_id, hamming FROM (
