@@ -58,7 +58,7 @@ def test_driver_query_budget():
     assert names[0] == "extract_articles"
     assert names[1] == "extract_footnotes"
     assert not (RETIRED & set(q))
-    # retired entries must still exist and stay locally verified
+    # retired entries must still exist and stay locally oracle-verified
     qa, oa = merged_queries(include_retired=True)
     assert RETIRED <= set(qa)
-    assert RETIRED - {"minhash_signatures_fast"} <= set(oa)
+    assert RETIRED <= set(oa)
