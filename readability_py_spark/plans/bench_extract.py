@@ -51,10 +51,16 @@ def bench_extraction(spark: SparkSession, sf_dir: str | None = None) -> dict:
         _noop, "n long"
     ).count()
 
-    t0 = time.monotonic()
-    extracted = extraction_plan(pages)
-    n_out = extracted.count()
-    wall = time.monotonic() - t0
+    # min-of-N reps (default 2): single-rep numbers on this box are
+    # hostage to hypervisor steal spikes (see bench.py note)
+    n_reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+    wall = None
+    for _ in range(n_reps):
+        t0 = time.monotonic()
+        extracted = extraction_plan(pages)
+        n_out = extracted.count()
+        rep = time.monotonic() - t0
+        wall = rep if wall is None else min(wall, rep)
     pages.unpersist()
     return {
         "extract_input_rows": total_rows,
