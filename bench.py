@@ -115,6 +115,12 @@ def main() -> None:
     # reps is a far better estimator of the code's cost; raise
     # SPARK_GRAFT_BENCH_REPS for manual runs.
     n_reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+    # Wall-budget guard: under a sustained steal spike two reps of
+    # everything could blow the driver's bench timeout (worst observed
+    # single-rep total: 277s), so past this point remaining queries
+    # drop to one rep. The budget is spent on the queries, not startup.
+    budget_sec = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "400"))
+    bench_start = time.monotonic()
     timings: dict[str, float] = {}
     extras: dict[str, float] = {}
     from readability_py_spark.operators.dedup import release_caches
@@ -122,7 +128,8 @@ def main() -> None:
     for name in HEADLINE:
         fn = qmap[name]
         best = None
-        for _ in range(n_reps):
+        reps = n_reps if (time.monotonic() - bench_start) < budget_sec else 1
+        for _ in range(reps):
             t0 = time.monotonic()
             force(fn(spark, sf_dir))
             wall = time.monotonic() - t0
