@@ -337,6 +337,102 @@ FROM hx
 """
 
 
+# ---------------------------------------------------------------------------
+# Frame sampling + resize plumbing (video/image pipeline faces).
+#
+# The container has no video/imaging libraries, so the PIXEL work is a
+# clearly-gated deterministic stub (decode_real documents the swap-in
+# point) — but the Spark-side plumbing is real and tested: typed
+# metadata columns, JVM-side sampling arithmetic, Arrow batch shapes,
+# and partitioning identical to what a real decoder would run under.
+# ---------------------------------------------------------------------------
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("ts_ms", T.LongType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+
+def synth_video_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fake-mp4 payloads + typed metadata: an ftyp box
+    header (so sniff_media_type sees video/mp4) followed by md5-derived
+    filler; duration/fps derive from doc_id."""
+    docs = load_table(spark, sf_dir, "documents")
+    payload = F.concat(
+        F.unhex(F.lit("00000018667479706D703432")),  # [24] ftyp 'mp42'
+        F.unhex(F.md5(F.concat(F.lit("vid:"), F.col("doc_id").cast("string")))),
+    )
+    return docs.select(
+        "doc_id",
+        payload.alias("payload"),
+        (F.col("doc_id") % 20000 + 1000).cast("long").alias("duration_ms"),
+        F.lit(25).cast("int").alias("fps"),
+    )
+
+
+def _stub_frame(payload: bytes, idx: int) -> bytes:
+    """Deterministic stand-in for a decoded frame (no video libs in
+    the container; swap for the real decoder via decode_real)."""
+    return hashlib.md5(payload + idx.to_bytes(4, "big")).digest()
+
+
+def frame_sample_batch(every_ms: int):
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k.name: [] for k in FRAME_SCHEMA.fields}
+            for doc_id, payload, duration in zip(
+                pdf["doc_id"], pdf["payload"], pdf["duration_ms"]
+            ):
+                raw = bytes(payload) if payload is not None else b""
+                idx = 0
+                for ts in range(0, int(duration), every_ms):
+                    out["doc_id"].append(int(doc_id))
+                    out["frame_idx"].append(idx)
+                    out["ts_ms"].append(ts)
+                    out["frame"].append(_stub_frame(raw, idx))
+                    idx += 1
+            yield pd.DataFrame(out)
+
+    return gen
+
+
+def frame_sample_plan(
+    videos: DataFrame, every_ms: int = 1000, num_partitions: int | None = None
+) -> DataFrame:
+    """One frame every `every_ms` per video through the Arrow batch
+    UDF. Scale shape mirrors media_decode_plan: repartition by doc_id
+    (frame explosion is per-doc-local, so the only shuffle is the 1×
+    input), one Python crossing, output fans out rows without moving
+    them."""
+    spark = videos.sparkSession
+    n = num_partitions or (2 * spark.sparkContext.defaultParallelism)
+    return (
+        videos.select("doc_id", "payload", "duration_ms")
+        .repartition(n, F.col("doc_id"))
+        .mapInPandas(frame_sample_batch(every_ms), FRAME_SCHEMA)
+    )
+
+
+def resize_dims(w: F.Column, h: F.Column, target: int = 224):
+    """Aspect-preserving fit into target×target, entirely JVM-side
+    (the metadata half of a resize; the pixel half is decode_real's
+    swap-in point). Never upscales."""
+    scale = F.least(
+        F.lit(1.0),
+        F.least(
+            F.lit(float(target)) / w.cast("double"),
+            F.lit(float(target)) / h.cast("double"),
+        ),
+    )
+    new_w = F.greatest(F.lit(1), F.floor(w * scale).cast("int"))
+    new_h = F.greatest(F.lit(1), F.floor(h * scale).cast("int"))
+    return new_w, new_h
+
+
 QUERIES = {
     "media_decode_stub": q_media_decode_stub,
     "media_decode_headers": q_media_decode_headers,

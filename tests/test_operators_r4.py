@@ -263,6 +263,60 @@ def test_chardet_branch_gated(monkeypatch):
     assert d1.original_encoding == "shift-jis"
 
 
+def test_frame_sample_plan(spark):
+    """Video frame sampling plumbing: typed metadata in, (doc_id,
+    frame_idx, ts_ms, frame binary) out; frame count = ceil(duration /
+    every_ms); deterministic stub frames; only the 1x input shuffles."""
+    import math
+
+    from readability_py_spark.operators.multimodal import (
+        frame_sample_plan,
+        synth_video_payloads,
+    )
+
+    vids = synth_video_payloads(spark, SF_SMOKE)
+    meta = {r["doc_id"]: r["duration_ms"] for r in vids.collect()}
+    df = frame_sample_plan(vids, every_ms=700, num_partitions=4)
+    rows = df.collect()
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == set(meta)
+    for doc_id, frames in by_doc.items():
+        assert len(frames) == math.ceil(meta[doc_id] / 700)
+        idxs = sorted(f["frame_idx"] for f in frames)
+        assert idxs == list(range(len(frames)))
+        for f in frames:
+            assert f["ts_ms"] == f["frame_idx"] * 700
+            assert len(bytes(f["frame"])) == 16
+    # deterministic across runs
+    again = {(r["doc_id"], r["frame_idx"]): bytes(r["frame"]) for r in df.collect()}
+    assert all(again[(r["doc_id"], r["frame_idx"])] == bytes(r["frame"]) for r in rows)
+    # one doc_id hash exchange of the 1x input; nothing else moves
+    # (AQE's final-plan dump may render the exchange with extra
+    # wrapper nodes, so count the partitioning spec, not the word)
+    plan = df._jdf.queryExecution().executedPlan().toString().lower()
+    # after execution AQE dumps "== Final Plan ==" AND "== Initial
+    # Plan ==" — inspect only the final one
+    plan = plan.split("== initial plan ==")[0]
+    assert plan.count("hashpartitioning(doc_id") == 1, plan
+    assert "singlepartition" not in plan, plan
+    assert "roundrobin" not in plan, plan
+
+
+def test_resize_dims(spark):
+    from readability_py_spark.operators.multimodal import resize_dims
+
+    df = spark.createDataFrame(
+        [(448, 224), (224, 448), (100, 50), (1000, 10), (224, 224)],
+        "w int, h int",
+    )
+    nw, nh = resize_dims(F.col("w"), F.col("h"))
+    got = [(r[0], r[1]) for r in df.select(nw, nh).collect()]
+    # fit into 224x224 preserving aspect; never upscale
+    assert got == [(224, 112), (112, 224), (100, 50), (224, 2), (224, 224)]
+
+
 def test_normalize_url_edge_cases_duckdb_twin():
     """The DuckDB dialect must normalize the exact same strings to the
     exact same outputs — otherwise the oracle verifies bugs instead of
