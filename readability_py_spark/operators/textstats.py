@@ -604,7 +604,93 @@ FROM s
 """
 
 
+# Winnowing fingerprints (Schleimer, Wilkerson, Aiken 2003 — the MOSS
+# local document-fingerprinting algorithm, public): rolling k-gram
+# hashes over the normalized text; from every window of w consecutive
+# hashes keep the minimum (rightmost on ties); the distinct selected
+# hashes are the document's fingerprint set. Guarantees: any shared
+# substring of length >= k + w - 1 contributes at least one common
+# fingerprint, so overlap detection needs only a fingerprint-set
+# intersection — the ROLLING-HASH face of document fingerprinting
+# (doc_fingerprint covers the whole-document md5 face).
+WINNOW_K = 8  # char k-gram length
+WINNOW_W = 4  # winnowing window (in hashes)
+
+
+def _winnow_sql(dialect: str) -> str:
+    """Generate the winnowing query for either dialect. All hashing is
+    md5-prefix → BIGINT (the shared hash family), selection arithmetic
+    is identical list algebra: rightmost-min position in window i is
+    i + w - first_position(reverse(window), min(window))."""
+    k, w = WINNOW_K, WINNOW_W
+    min_len = k + w - 1
+    if dialect == "spark":
+        norm = "regexp_replace(lower(text), '[^a-z0-9]+', '')"
+        hashes = (
+            f"transform(sequence(1, length({norm}) - {k - 1}), i -> "
+            f"CAST(conv(substr(md5(substr({norm}, i, {k})), 1, 8), 16, 10) AS BIGINT))"
+        )
+        # Spark's sequence(1, n) DESCENDS when n < 1, so the size guard
+        # must wrap the whole selection, not just the gram build
+        # array_position returns BIGINT; element_at's index must be INT
+        sel = (
+            f"transform(sequence(1, size(hs) - {w - 1}), i -> "
+            f"element_at(hs, CAST(i + {w} - array_position(reverse(slice(hs, i, {w})), "
+            f"array_min(slice(hs, i, {w}))) AS INT)))"
+        )
+        body = (
+            f"SELECT /*+ REPARTITION(32) */ doc_id, "
+            f"CASE WHEN length({norm}) >= {min_len} THEN {hashes} "
+            f"ELSE CAST(array() AS ARRAY<BIGINT>) END AS hs FROM documents"
+        )
+        # the same descending-sequence hazard guards the selection:
+        # hs is either empty (short doc) or >= w hashes by the
+        # min_len guard, so one emptiness check suffices
+        fps = (
+            f"CASE WHEN size(hs) >= {w} THEN array_sort(array_distinct({sel})) "
+            f"ELSE CAST(array() AS ARRAY<BIGINT>) END"
+        )
+        return f"""
+WITH hashed AS ({body})
+SELECT doc_id,
+       CAST(size(fps) AS INT) AS n_fps,
+       fps
+FROM (SELECT doc_id, {fps} AS fps FROM hashed)
+"""
+    norm = "regexp_replace(lower(text), '[^a-z0-9]+', '', 'g')"
+    hashes = (
+        f"list_transform(range(1, length({norm}) - {k - 2}), i -> "
+        f"CAST('0x' || substr(md5(substr({norm}, i, {k})), 1, 8) AS BIGINT))"
+    )
+    sel = (
+        f"list_transform(range(1, len(hs) - {w - 2}), i -> "
+        f"hs[i + {w} - list_position(list_reverse(hs[i : i + {w - 1}]), "
+        f"list_min(hs[i : i + {w - 1}]))])"
+    )
+    return f"""
+WITH hashed AS (
+  SELECT doc_id,
+         CASE WHEN length({norm}) >= {min_len} THEN {hashes}
+         ELSE [] END AS hs
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(fps) AS INT) AS n_fps,
+       fps
+FROM (SELECT doc_id, list_sort(list_distinct({sel})) AS fps FROM hashed)
+"""
+
+
+def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_winnow_sql("spark"))
+
+
+ORACLE_WINNOW_FINGERPRINT = _winnow_sql("duckdb")
+
+
 QUERIES = {
+    "winnow_fingerprint": q_winnow_fingerprint,
     "vocab_topk": q_vocab_topk,
     "token_stats": q_token_stats,
     "lang_id": q_lang_id,
@@ -616,6 +702,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "winnow_fingerprint": ORACLE_WINNOW_FINGERPRINT,
     "gopher_lines": ORACLE_GOPHER_LINES,
     "vocab_topk": ORACLE_VOCAB_TOPK,
     "token_stats": ORACLE_TOKEN_STATS,

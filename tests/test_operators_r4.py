@@ -317,6 +317,48 @@ def test_resize_dims(spark):
     assert got == [(224, 112), (112, 224), (100, 50), (224, 2), (224, 224)]
 
 
+def _winnow_py(text, k=8, w=4):
+    """Independent reference implementation of winnowing (rightmost
+    min per window) used to pin the SQL dialects."""
+    import hashlib
+    import re as _re
+
+    norm = _re.sub(r"[^a-z0-9]+", "", text.lower())
+    if len(norm) < k + w - 1:
+        return []
+    hs = [
+        int(hashlib.md5(norm[i : i + k].encode()).hexdigest()[:8], 16)
+        for i in range(len(norm) - k + 1)
+    ]
+    sel = []
+    for i in range(len(hs) - w + 1):
+        win = hs[i : i + w]
+        mn = min(win)
+        sel.append(hs[i + (w - 1 - win[::-1].index(mn))])
+    return sorted(set(sel))
+
+
+def test_winnow_fingerprint_semantics(spark):
+    from readability_py_spark.operators.textstats import _winnow_sql
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "pack my box with five dozen liquor jugs",
+        "short",  # below k+w-1 after normalization → empty
+        "aaaaaaaaaaaaaaaaaa",  # degenerate: all k-grams identical
+        # shares a long substring with row 0 → guaranteed common print
+        "PREFIX the quick brown fox jumps over SUFFIX",
+    ]
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    df.createOrReplaceTempView("documents")
+    rows = {r["doc_id"]: list(r["fps"]) for r in spark.sql(_winnow_sql("spark")).collect()}
+    for i, t in enumerate(texts):
+        assert rows[i] == _winnow_py(t), f"doc {i}"
+    # the winnowing guarantee: a shared substring of length >= k+w-1
+    # yields at least one shared fingerprint
+    assert set(rows[0]) & set(rows[4])
+
+
 def test_normalize_url_edge_cases_duckdb_twin():
     """The DuckDB dialect must normalize the exact same strings to the
     exact same outputs — otherwise the oracle verifies bugs instead of
