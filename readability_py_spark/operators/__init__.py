@@ -44,6 +44,7 @@ RETIRED = {
 # driver-rehearsal tool via include_retired=True.
 LOCAL_ONLY = {
     "winnow_fingerprint",
+    "kmeans_refine",
 }
 
 

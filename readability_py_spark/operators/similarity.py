@@ -404,12 +404,78 @@ WHERE ROUND(list_dot_product(na.v, nb.v) / (na.nrm * nb.nrm), 4) >= {NEAR_DUP_CO
 """
 
 
+def q_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd (k-means) refinement step over the IVF centroids —
+    the iterative-algorithm face of the index BUILD (q_ann_ivf_topk
+    covers the probe side; at corpus scale a handful of these steps
+    over a sample produces the production centroids, each step a pure
+    DataFrame job the driver loops).
+
+    Plan shape: map-only argmax cell assignment (identical expression
+    to the probe path) → posexplode dims → one groupBy (cell, dim)
+    with map-side partial aggregation — shuffle volume is
+    |sample| × DIM tiny (cell, dim, partial-sum) tuples, never the
+    vectors themselves twice. Output is the refined centroid table
+    (cell, dim, centroid, n_members); empty cells simply emit no rows.
+
+    Float discipline: AVG over float32-origin doubles; summation order
+    differs between engines by ~1e-13 relative, far below the ROUND 4
+    reporting precision. LOCAL_ONLY (beyond the driver's 50-entry
+    budget); oracle-paired in the local harness."""
+    n = _normed(spark, sf_dir)
+    dots = F.array(*[_dot(F.col("v"), _lit_vec(c)) for c in IVF_CENTROIDS])
+    base = n.select("vec_id", "v", dots.alias("dots"))
+    assigned = base.select(
+        "v",
+        F.expr("CAST(array_position(dots, array_max(dots)) AS INT)").alias(
+            "cell"
+        ),
+    )
+    dims = assigned.select("cell", F.posexplode("v").alias("dim0", "val"))
+    return (
+        dims.groupBy("cell", "dim0")
+        .agg(
+            # + 0.0 canonicalizes IEEE negative zero (ROUND(-1e-9, 4)
+            # is -0.0 in DuckDB, 0.0 in Spark — repr-distinct cells)
+            (F.round(F.avg("val"), 4) + F.lit(0.0)).alias("centroid"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+        .select(
+            "cell",
+            (F.col("dim0") + 1).cast("int").alias("dim"),
+            "centroid",
+            "n_members",
+        )
+    )
+
+
+ORACLE_KMEANS_REFINE = f"""
+WITH n AS ({_DUCK_NORMED}),
+base AS (SELECT vec_id, v, {_duck_ivf_dots()} AS dots FROM n),
+assigned AS (
+  SELECT v, CAST(list_position(dots, list_max(dots)) AS INT) AS cell FROM base
+),
+dims AS (
+  SELECT cell,
+         unnest(list_transform(range(1, len(v) + 1),
+                               i -> struct_pack(dim := i, val := v[i]))) AS dv
+  FROM assigned
+)
+SELECT cell,
+       CAST(dv.dim AS INT) AS dim,
+       ROUND(AVG(dv.val), 4) + 0.0 AS centroid,
+       CAST(COUNT(*) AS BIGINT) AS n_members
+FROM dims GROUP BY cell, dv.dim
+"""
+
+
 QUERIES = {
     "knn_brute_topk": q_knn_brute_topk,
     "ann_lsh_buckets": q_ann_lsh_buckets,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "embedding_near_dups": q_embedding_near_dups,
+    "kmeans_refine": q_kmeans_refine,
 }
 
 ORACLES = {
@@ -418,4 +484,5 @@ ORACLES = {
     "ann_lsh_topk": ORACLE_ANN_LSH_TOPK,
     "ann_ivf_topk": ORACLE_ANN_IVF_TOPK,
     "embedding_near_dups": ORACLE_EMBEDDING_NEAR_DUPS,
+    "kmeans_refine": ORACLE_KMEANS_REFINE,
 }

@@ -359,6 +359,34 @@ def test_winnow_fingerprint_semantics(spark):
     assert set(rows[0]) & set(rows[4])
 
 
+def test_kmeans_refine_invariants(spark):
+    """One Lloyd step over the IVF centroids: every vector is assigned
+    to exactly one cell (member counts across dims are consistent and
+    sum to the corpus), dims cover 1..64, and the refined centroids
+    are a genuine update (not the seeded literals)."""
+    from readability_py_spark.operators.similarity import (
+        DIM,
+        IVF_CENTROIDS,
+        q_kmeans_refine,
+    )
+
+    rows = q_kmeans_refine(spark, SF_SMOKE).collect()
+    cells = {}
+    for r in rows:
+        cells.setdefault(r["cell"], {})[r["dim"]] = (r["centroid"], r["n_members"])
+    n_vecs = 0
+    for cell, dims in cells.items():
+        assert set(dims) == set(range(1, DIM + 1))
+        counts = {v[1] for v in dims.values()}
+        assert len(counts) == 1  # same member count on every dim
+        n_vecs += counts.pop()
+    total = spark.read.parquet(SF_SMOKE + "/embeddings.parquet").count()
+    assert n_vecs == total
+    for cell, dims in cells.items():
+        refined = [dims[d][0] for d in range(1, DIM + 1)]
+        assert refined != [round(x, 4) for x in IVF_CENTROIDS[cell - 1]]
+
+
 def test_normalize_url_edge_cases_duckdb_twin():
     """The DuckDB dialect must normalize the exact same strings to the
     exact same outputs — otherwise the oracle verifies bugs instead of
