@@ -387,6 +387,31 @@ def test_kmeans_refine_invariants(spark):
         assert refined != [round(x, 4) for x in IVF_CENTROIDS[cell - 1]]
 
 
+CONF_KEYS = [
+    "spark.sql.shuffle.partitions",
+    "spark.sql.adaptive.enabled",
+    "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+    "spark.sql.session.timeZone",
+]
+
+
+def test_queries_do_not_mutate_session_conf(spark):
+    """The driver runs queries() in ITS session; a query that mutates
+    session conf (the round-2 dedup='agg' bug class) silently changes
+    every later query's plan. Build each driver query and assert the
+    watched conf keys are untouched."""
+    from readability_py_spark.operators import merged_queries
+    from readability_py_spark.operators.dedup import release_caches
+
+    q, _ = merged_queries(include_retired=True)
+    before = {k: spark.conf.get(k, None) for k in CONF_KEYS}
+    for name, fn in q.items():
+        fn(spark, SF_SMOKE)  # building the plan must not touch conf
+        after = {k: spark.conf.get(k, None) for k in CONF_KEYS}
+        assert after == before, f"{name} mutated session conf: {after}"
+        release_caches()
+
+
 def test_normalize_url_edge_cases_duckdb_twin():
     """The DuckDB dialect must normalize the exact same strings to the
     exact same outputs — otherwise the oracle verifies bugs instead of
