@@ -22,20 +22,37 @@ from __future__ import annotations
 
 DRIVER_QUERY_BUDGET = 50
 
-# Strict sub-plans of surviving driver entries (kept implemented and
-# locally oracle-tested; excluded from the driver dict for budget):
+# Strict sub-plans (or family-covered siblings) of surviving driver
+# entries (kept implemented and locally oracle-tested; excluded from
+# the driver dict for budget). Retirement policy: a retiree must be
+# either a strict sub-plan of a surviving entry (its correctness is
+# driver-certified transitively) or a sibling whose distinguishing
+# semantics a surviving family member also exercises.
 #   media_decode_stub   ⊂ media_decode_headers (same UDF, weaker corpus)
 #   minhash_signatures  ⊂ minhash_lsh_dups     (its signature stage)
 #   simhash_docs        ⊂ simhash_dup_pairs    (its signature stage)
 #   ann_lsh_buckets     ⊂ ann_lsh_topk         (its bucketing stage)
 #   set_union           — set-ops family still driver-covered by
-#                         set_intersect + set_except
+#                         set_except
+#   set_intersect       — retired r5 for the groups/decontaminate
+#                         slots; set-ops family driver-covered by
+#                         set_except (union+intersect locally green)
+#   media_meta          — retired r5: same synthesized media corpus
+#                         family as media_decode_headers, which is the
+#                         superset decode (headers + dims vs type tag)
+#   ngram_jaccard_dups  — retired r5: its banded-Jaccard semantics are
+#                         exactly minhash_lsh_dups' verify stage
+#                         (identical jaccard expression over the same
+#                         shingle relation), which stays driver-green
 RETIRED = {
     "media_decode_stub",
     "minhash_signatures",
     "simhash_docs",
     "ann_lsh_buckets",
     "set_union",
+    "set_intersect",
+    "media_meta",
+    "ngram_jaccard_dups",
 }
 
 # Beyond-budget operators: full queries()+oracle implementations that
@@ -51,6 +68,7 @@ LOCAL_ONLY = {
 def merged_queries(include_retired: bool = False):
     from . import (
         dedup,
+        groups,
         multimodal,
         pipeline,
         relational,
@@ -68,7 +86,16 @@ def merged_queries(include_retired: bool = False):
     o["extract_articles"] = extract_job.ORACLE_EXTRACT_ARTICLES
     q["extract_footnotes"] = extract_job.extract_footnotes_query
     o["extract_footnotes"] = extract_job.ORACLE_EXTRACT_FOOTNOTES
-    for mod in (relational, dedup, similarity, textstats, multimodal, urls, pipeline):
+    for mod in (
+        relational,
+        dedup,
+        similarity,
+        textstats,
+        multimodal,
+        urls,
+        pipeline,
+        groups,
+    ):
         q.update(mod.QUERIES)
         o.update(mod.ORACLES)
     if not include_retired:

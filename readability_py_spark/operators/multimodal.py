@@ -381,20 +381,31 @@ def _stub_frame(payload: bytes, idx: int) -> bytes:
 
 
 def frame_sample_batch(every_ms: int):
+    """Sample one frame per `every_ms`, SNAPPED to the video's decoder
+    frame grid (advisor r4: the typed metadata advertises fps, so the
+    plumbing must consume it the way a real decoder swap-in would): a
+    sample at wall time ts lands on frame_idx = ts·fps/1000, whose
+    actual timestamp is frame_idx·1000/fps. Samples collapsing onto
+    the same frame (every_ms below the frame interval) dedupe, exactly
+    as seeking a real decoder would."""
+
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {k.name: [] for k in FRAME_SCHEMA.fields}
-            for doc_id, payload, duration in zip(
-                pdf["doc_id"], pdf["payload"], pdf["duration_ms"]
+            for doc_id, payload, duration, fps in zip(
+                pdf["doc_id"], pdf["payload"], pdf["duration_ms"], pdf["fps"]
             ):
                 raw = bytes(payload) if payload is not None else b""
-                idx = 0
+                last_idx = -1
                 for ts in range(0, int(duration), every_ms):
+                    idx = int(ts) * int(fps) // 1000
+                    if idx == last_idx:
+                        continue
+                    last_idx = idx
                     out["doc_id"].append(int(doc_id))
                     out["frame_idx"].append(idx)
-                    out["ts_ms"].append(ts)
+                    out["ts_ms"].append(idx * 1000 // int(fps))
                     out["frame"].append(_stub_frame(raw, idx))
-                    idx += 1
             yield pd.DataFrame(out)
 
     return gen
@@ -411,7 +422,7 @@ def frame_sample_plan(
     spark = videos.sparkSession
     n = num_partitions or (2 * spark.sparkContext.defaultParallelism)
     return (
-        videos.select("doc_id", "payload", "duration_ms")
+        videos.select("doc_id", "payload", "duration_ms", "fps")
         .repartition(n, F.col("doc_id"))
         .mapInPandas(frame_sample_batch(every_ms), FRAME_SCHEMA)
     )

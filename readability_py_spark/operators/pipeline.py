@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..session import load_table
+from ..session import load_table, maybe_parallelize
 from .textstats import (
     REP_DUP5_MAX,
     REP_TOP2_MAX,
@@ -66,37 +66,48 @@ def _messy_pair_url() -> Column:
     return F.when(d % 2 == 0, even).otherwise(odd)
 
 
-def q_pipeline_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        # single-file test scan + CPU-bound gates (see textstats
-        # q_repetition_stats note); no-op at corpus scale
-        spark.sparkContext.defaultParallelism
-    )
+def gated_docs(
+    spark: SparkSession, sf_dir: str, with_text: bool = False
+) -> DataFrame:
+    """The pre-shuffle half of the fused pipeline: normalize + all
+    map-only gates, emitting one (doc_id, url_key, norm_url[, text])
+    row per SURVIVING document. q_pipeline_gate groups this by url_key;
+    operators/groups.py's composed ingest carries `text` through so the
+    url-dedup representative's text is available to the near-dup stage
+    without a corpus-wide join back to the source table.
+
+    The scan goes through maybe_parallelize (gated: fires only on the
+    split-starved testdata; exchange-free on a real multi-split input).
+    The gate is a Generate (inline of a conditional singleton array),
+    NOT a Filter: Catalyst pushes a deterministic source-column
+    Filter below the parallelizing repartition into the single-split
+    test scan, which would evaluate every gate expression (both
+    repetition folds included) serially on one core — measured 16 s
+    vs ~2 s. A Generate cannot be pushed below the exchange, so the
+    gates run in the parallel stage here; on a real multi-split scan
+    (no repartition, no exchange) the Generate sits directly on the
+    scan and fuses into the scan stage exactly like the Filter would."""
+    docs = maybe_parallelize(load_table(spark, sf_dir, "documents"), spark)
     norm = normalize_url(_messy_pair_url())
     flags = gopher_flag_cols(F.col("text"), TEST_CORPUS_STOPWORDS)
     top2, dup5 = repetition_cols(F.col("text"))
     keep = flags["pass"] & (top2 <= REP_TOP2_MAX) & (dup5 <= REP_DUP5_MAX)
-    # The gate is a Generate (inline of a conditional singleton array),
-    # NOT a Filter: Catalyst pushes a deterministic source-column
-    # Filter below the parallelizing repartition into the single-split
-    # test scan, which would evaluate every gate expression (both
-    # repetition folds included) serially on one core — measured 16 s
-    # vs ~2 s. A Generate cannot be pushed below the exchange, so the
-    # gates run in the parallel stage here; on a real multi-split scan
-    # (no repartition needed) the Generate sits directly on the scan
-    # and fuses into the scan stage exactly like the Filter would.
-    unit = F.struct(
+    fields = [
         F.col("doc_id").alias("doc_id"),
         F.md5(F.encode(norm, "utf-8")).alias("url_key"),
         norm.alias("norm_url"),
-    )
-    empty = F.array().cast(
-        "array<struct<doc_id:bigint,url_key:string,norm_url:string>>"
-    )
-    gated = docs.select(
-        F.inline(F.when(keep, F.array(unit)).otherwise(empty))
-    )
-    return gated.groupBy("url_key").agg(
+    ]
+    schema = "doc_id:bigint,url_key:string,norm_url:string"
+    if with_text:
+        fields.append(F.col("text").alias("text"))
+        schema += ",text:string"
+    unit = F.struct(*fields)
+    empty = F.array().cast(f"array<struct<{schema}>>")
+    return docs.select(F.inline(F.when(keep, F.array(unit)).otherwise(empty)))
+
+
+def q_pipeline_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return gated_docs(spark, sf_dir).groupBy("url_key").agg(
         F.min("doc_id").alias("keep_doc_id"),
         F.min("norm_url").alias("norm_url"),  # group-constant by construction
         F.count(F.lit(1)).alias("dup_cnt"),

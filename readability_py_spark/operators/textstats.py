@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..session import load_table
+from ..session import load_table, maybe_parallelize, parallelize_hint
 
 # BPE-ish tokenizer: letter runs, digit runs, single punctuation marks.
 BPE_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
@@ -450,18 +450,17 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape (round-4 rewrite): entirely MAP-ONLY — one projection
     over the scan; the round-3 version's two explode→groupBy stages
     shuffled ~7× the corpus text volume for a statistic that never
-    crosses document boundaries. The only exchange left is a
-    round-robin repartition of the 1× input, needed solely because the
-    testdata table is a single parquet file (one input split) and the
-    fold is CPU-bound — at corpus scale the scan has thousands of
-    splits and the repartition is a no-op to remove (plan-asserted: one
-    round-robin exchange, zero hash/gram shuffles,
-    tests/test_operators_r4.py). The DuckDB oracle keeps the
-    independent unnest→GROUP BY formulation, so the in-row fold is
-    verified against a genuinely different algorithm."""
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    crosses document boundaries. The only exchange left is a GATED
+    round-robin repartition of the 1× input (maybe_parallelize), which
+    fires solely because the testdata table is a single parquet file
+    (one input split) and the fold is CPU-bound — at corpus scale the
+    scan has thousands of splits, the gate does not fire, and the plan
+    is exchange-free (both shapes plan-asserted:
+    tests/test_operators_r4.py single-split, tests/test_operators_r5.py
+    pre-split). The DuckDB oracle keeps the independent
+    unnest→GROUP BY formulation, so the in-row fold is verified
+    against a genuinely different algorithm."""
+    docs = maybe_parallelize(load_table(spark, sf_dir, "documents"), spark)
     top2, dup5 = repetition_cols(F.col("text"))
     return docs.select(
         "doc_id",
@@ -617,7 +616,7 @@ WINNOW_K = 8  # char k-gram length
 WINNOW_W = 4  # winnowing window (in hashes)
 
 
-def _winnow_sql(dialect: str) -> str:
+def _winnow_sql(dialect: str, hint: str = "") -> str:
     """Generate the winnowing query for either dialect. All hashing is
     md5-prefix → BIGINT (the shared hash family), selection arithmetic
     is identical list algebra: rightmost-min position in window i is
@@ -638,8 +637,11 @@ def _winnow_sql(dialect: str) -> str:
             f"element_at(hs, CAST(i + {w} - array_position(reverse(slice(hs, i, {w})), "
             f"array_min(slice(hs, i, {w}))) AS INT)))"
         )
+        # `hint` is parallelize_hint(...)'s output: REPARTITION only on
+        # a split-starved scan, "" on a real multi-split input (where a
+        # hardcoded hint would coalesce the scan) — VERDICT r4 #1
         body = (
-            f"SELECT /*+ REPARTITION(32) */ doc_id, "
+            f"SELECT {hint}doc_id, "
             f"CASE WHEN length({norm}) >= {min_len} THEN {hashes} "
             f"ELSE CAST(array() AS ARRAY<BIGINT>) END AS hs FROM documents"
         )
@@ -682,15 +684,101 @@ FROM (SELECT doc_id, list_sort(list_distinct({sel})) AS fps FROM hashed)
 
 
 def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
-    return spark.sql(_winnow_sql("spark"))
+    docs = load_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("documents")
+    return spark.sql(_winnow_sql("spark", hint=parallelize_hint(spark, docs)))
 
 
 ORACLE_WINNOW_FINGERPRINT = _winnow_sql("duckdb")
 
 
+# ---------------------------------------------------------------------------
+# Eval-set decontamination (VERDICT r4 "Next round" #4): the standard
+# pretraining gate that flags corpus documents sharing long n-grams
+# with held-out evaluation sets (the published recipe is 13-gram
+# overlap, e.g. GPT-3 appendix C / Gopher section A.3 — both public).
+# ---------------------------------------------------------------------------
+
+DECON_N = 13  # the published eval-contamination n-gram length
+DECON_SLICE = 97  # synthetic eval set = documents with doc_id % 97 == 0
+
+
+def _gram_array(text_col, n: int) -> F.Column:
+    """All n-word grams of a text column (same trim/lower/\\s+ word
+    normalization as the repetition family / _duck_grams); empty array
+    below n words."""
+    w = F.split(F.trim(F.lower(text_col)), r"\s+")
+    return F.when(
+        F.size(w) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(w, i + j) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document eval-set contamination flag + distinct-13-gram
+    overlap count against a deterministic synthetic eval set (the
+    doc_id % 97 slice of the corpus — so eval members themselves and
+    their near-dups are the true positives).
+
+    Scale shape: the corpus side is MAP-ONLY — each doc's distinct
+    13-gram set is built in-row, and the eval side collapses to a
+    single broadcast row, so the corpus never shuffles and no
+    aggregation follows the join (plan-asserted:
+    tests/test_operators_r5.py). Catalyst constant-folds the k=1
+    literal equi-key, so the join plans as a 1-row
+    BroadcastNestedLoopJoin buildright — identical data movement to
+    the BroadcastHashJoin it degenerates from, and linear (1 build
+    row × n stream rows). Real eval suites are
+    bounded (≤ a few million grams ≈ tens of MB — broadcastable by
+    construction); if the eval set ever outgrew a single in-row array,
+    the fallback is the exploded form — corpus grams explode → BHJ
+    against the eval gram set → per-doc count re-agg, which shuffles
+    only MATCHED grams — or a broadcast Bloom filter in front of it.
+    The eval-side explode/distinct/sort shuffles only the tiny eval
+    slice."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = F.array_distinct(_gram_array(F.col("text"), DECON_N))
+    ev = (
+        docs.filter(F.col("doc_id") % DECON_SLICE == 0)
+        .select(F.explode(_gram_array(F.col("text"), DECON_N)).alias("g"))
+        .distinct()
+    )
+    evarr = ev.agg(F.array_sort(F.collect_set("g")).alias("evg")).select(
+        F.lit(1).alias("k"), "evg"
+    )
+    corpus = docs.select("doc_id", grams.alias("grams"), F.lit(1).alias("k"))
+    overlap = F.size(F.array_intersect(F.col("grams"), F.col("evg")))
+    return corpus.join(F.broadcast(evarr), "k").select(
+        "doc_id",
+        F.size("grams").alias("n_grams"),
+        overlap.alias("overlap_cnt"),
+        (overlap > 0).alias("contaminated"),
+    )
+
+
+ORACLE_DECONTAMINATE = rf"""
+WITH ev AS (
+  SELECT DISTINCT unnest({_duck_grams(DECON_N)}) AS g
+  FROM documents WHERE doc_id % {DECON_SLICE} = 0
+),
+evarr AS (SELECT COALESCE(list(g ORDER BY g), []) AS evg FROM ev),
+d AS (SELECT doc_id, list_distinct({_duck_grams(DECON_N)}) AS grams FROM documents)
+SELECT doc_id,
+       CAST(len(grams) AS INT) AS n_grams,
+       CAST(len(list_intersect(grams, evg)) AS INT) AS overlap_cnt,
+       len(list_intersect(grams, evg)) > 0 AS contaminated
+FROM d CROSS JOIN evarr
+"""
+
+
 QUERIES = {
     "winnow_fingerprint": q_winnow_fingerprint,
+    "decontaminate": q_decontaminate,
     "vocab_topk": q_vocab_topk,
     "token_stats": q_token_stats,
     "lang_id": q_lang_id,
@@ -703,6 +791,7 @@ QUERIES = {
 
 ORACLES = {
     "winnow_fingerprint": ORACLE_WINNOW_FINGERPRINT,
+    "decontaminate": ORACLE_DECONTAMINATE,
     "gopher_lines": ORACLE_GOPHER_LINES,
     "vocab_topk": ORACLE_VOCAB_TOPK,
     "token_stats": ORACLE_TOKEN_STATS,

@@ -282,12 +282,17 @@ def test_frame_sample_plan(spark):
     for r in rows:
         by_doc.setdefault(r["doc_id"], []).append(r)
     assert set(by_doc) == set(meta)
+    # fps-snapped semantics (advisor r4): each sample lands on the
+    # decoder frame grid (synth fps = 25 → 40 ms frames); at
+    # every_ms=700 > frame interval no samples collapse, so the count
+    # is still ceil(duration / every_ms)
+    fps = 25
     for doc_id, frames in by_doc.items():
         assert len(frames) == math.ceil(meta[doc_id] / 700)
-        idxs = sorted(f["frame_idx"] for f in frames)
-        assert idxs == list(range(len(frames)))
-        for f in frames:
-            assert f["ts_ms"] == f["frame_idx"] * 700
+        fr = sorted(frames, key=lambda f: f["frame_idx"])
+        for k, f in enumerate(fr):
+            assert f["frame_idx"] == (k * 700 * fps) // 1000
+            assert f["ts_ms"] == f["frame_idx"] * 1000 // fps
             assert len(bytes(f["frame"])) == 16
     # deterministic across runs
     again = {(r["doc_id"], r["frame_idx"]): bytes(r["frame"]) for r in df.collect()}
