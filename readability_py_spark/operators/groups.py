@@ -54,13 +54,23 @@ from .dedup import (
 from .pipeline import ORACLE_PIPELINE_GATE, gated_docs
 
 CC_MAX_ITER = 30
+# Below this edge count the label table is broadcast in the loop's
+# joins: every iteration then costs ONE shuffle (the min-agg) instead
+# of ~5 AQE query stages (measured 2 s/iteration of pure stage latency
+# on a 2.8k-edge graph at 32-way shuffle width). ~1M edges ≈ ≤2M
+# label rows ≈ tens of MB — comfortably broadcastable; past it the
+# same code runs shuffle joins (the cluster-scale shape).
+CC_BROADCAST_EDGES = 1_000_000
 
 
-def _cc_step(sym: DataFrame, labels: DataFrame, jump: bool = True) -> DataFrame:
+def _cc_step(
+    sym: DataFrame, labels: DataFrame, jump: bool = True, small: bool = False
+) -> DataFrame:
     """One label-propagation iteration: neighbor min + pointer jump.
     Plan shape (asserted in tests/test_operators_r5.py): equi-joins
     only (no cartesian), one min-aggregation; everything keyed."""
-    prop = sym.join(labels, sym["src"] == labels["v"]).select(
+    bl = F.broadcast(labels) if small else labels
+    prop = sym.join(bl, sym["src"] == bl["v"]).select(
         F.col("dst").alias("v"), F.col("lbl")
     )
     cand = labels.union(prop).groupBy("v").agg(F.min("lbl").alias("lbl"))
@@ -70,7 +80,8 @@ def _cc_step(sym: DataFrame, labels: DataFrame, jump: bool = True) -> DataFrame:
     # propagated labels (without this the propagation join + agg would
     # compute twice per iteration — observed as 3 joins in the plan)
     cand = _persist(cand)
-    x, y = cand.alias("x"), cand.alias("y")
+    x = cand.alias("x")
+    y = (F.broadcast(cand) if small else cand).alias("y")
     # label(v) ← min(label(v), label(label(v))): labels are always
     # vertex ids of the same component, so the self-join always matches
     return x.join(y, F.col("x.lbl") == F.col("y.v")).select(
@@ -88,6 +99,11 @@ def connected_components(
     so an unchanged label-sum between iterations proves convergence
     (one cheap scalar agg per iteration, no extra join)."""
     edges = _persist(edges.select("a_id", "b_id").distinct())
+    # one materializing count picks the loop's join strategy: broadcast
+    # label tables on a small graph (the common case — capped LSH pairs
+    # are orders of magnitude fewer than corpus rows), shuffle joins
+    # past CC_BROADCAST_EDGES
+    small = edges.count() <= CC_BROADCAST_EDGES
     sym = _persist(
         edges.select(
             F.col("a_id").alias("src"), F.col("b_id").alias("dst")
@@ -100,13 +116,17 @@ def connected_components(
     )
     prev_sum: object = object()
     for _ in range(max_iter):
-        # localCheckpoint (eager) truncates lineage every iteration:
-        # the jump self-join references the previous label table TWICE,
-        # so without truncation the logical plan DOUBLES per iteration
+        # localCheckpoint truncates lineage every iteration: the jump
+        # self-join references the previous label table TWICE, so
+        # without truncation the logical plan DOUBLES per iteration
         # (observed: a 2 GB plan string and minutes of analysis time by
-        # ~iteration 10). On a real cluster use checkpoint() to
-        # reliable storage instead — same role, failure-tolerant.
-        labels = _cc_step(sym, labels).localCheckpoint(eager=True)
+        # ~iteration 10). Lazy (eager=False): the convergence agg below
+        # is the action that materializes it — one job per iteration,
+        # not two. On a real cluster use checkpoint() to reliable
+        # storage instead — same role, failure-tolerant.
+        labels = _cc_step(sym, labels, small=small).localCheckpoint(
+            eager=False
+        )
         cur_sum = labels.agg(F.sum("lbl")).collect()[0][0]
         if cur_sum == prev_sum:
             break

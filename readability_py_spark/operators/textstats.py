@@ -751,7 +751,14 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     evarr = ev.agg(F.array_sort(F.collect_set("g")).alias("evg")).select(
         F.lit(1).alias("k"), "evg"
     )
-    corpus = docs.select("doc_id", grams.alias("grams"), F.lit(1).alias("k"))
+    # the gram-build PROJECTION is CPU-heavy and, unlike a Filter,
+    # never gets pushed below the gated parallelizing repartition — on
+    # the single-split testdata it otherwise runs serially (measured
+    # 41 s at sf0.1); on a real multi-split scan the gate is off and
+    # the corpus side stays exchange-free (tests/test_operators_r5.py)
+    corpus = maybe_parallelize(docs, spark).select(
+        "doc_id", grams.alias("grams"), F.lit(1).alias("k")
+    )
     overlap = F.size(F.array_intersect(F.col("grams"), F.col("evg")))
     return corpus.join(F.broadcast(evarr), "k").select(
         "doc_id",

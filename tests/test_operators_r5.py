@@ -202,6 +202,28 @@ def test_decontaminate_flags_eval_slice_and_stays_broadcast(spark):
         "broadcasthashjoin" in plan
         or "broadcastnestedloopjoin buildright" in plan
     ), plan
+    assert "hashpartitioning(doc_id" not in plan, plan
+    # (on the single-split testdata the gated round-robin parallelizer
+    # fires for the CPU-heavy gram projection; the strong
+    # no-corpus-exchange claim is asserted on a pre-split input below)
+
+
+def test_decontaminate_presplit_corpus_side_is_exchange_free(spark, tmp_path):
+    """On a multi-split input the gate is off: the corpus side of the
+    decontamination join is scan → project → broadcast-join, zero
+    exchanges; only the tiny eval side shuffles."""
+    from readability_py_spark.operators.textstats import q_decontaminate
+    from readability_py_spark.session import load_table
+
+    sf = str(tmp_path)
+    (
+        load_table(spark, SF_SMOKE, "documents")
+        .repartition(32)
+        .write.parquet(f"{sf}/documents.parquet")
+    )
+    df = q_decontaminate(spark, sf)
+    df.write.format("noop").mode("overwrite").save()
+    plan = _final_plan(df)
     assert "roundrobin" not in plan, plan
     assert "hashpartitioning(doc_id" not in plan, plan
 
