@@ -54,23 +54,23 @@ from .dedup import (
 from .pipeline import ORACLE_PIPELINE_GATE, gated_docs
 
 CC_MAX_ITER = 30
-# Below this edge count the label table is broadcast in the loop's
-# joins: every iteration then costs ONE shuffle (the min-agg) instead
-# of ~5 AQE query stages (measured 2 s/iteration of pure stage latency
-# on a 2.8k-edge graph at 32-way shuffle width). ~1M edges ≈ ≤2M
-# label rows ≈ tens of MB — comfortably broadcastable; past it the
-# same code runs shuffle joins (the cluster-scale shape).
-CC_BROADCAST_EDGES = 1_000_000
+# Edge graphs at or below this size are resolved by a SINGLE-TASK
+# union-find instead of the iterative loop. The pairs table after
+# capped LSH is orders of magnitude smaller than the corpus (0.1%
+# of docs at test SF), and a 1M-edge union-find is ~1 s of CPU and
+# O(2·edges) dict memory in one executor task — versus O(log d)
+# shuffle ROUNDS of the loop, each paying full stage latency. The
+# same hybrid lives in production CC implementations (GraphX/
+# GraphFrames fall back to local resolution below a threshold);
+# above it the iterative label-propagation path runs.
+CC_SMALL_EDGES = 1_000_000
 
 
-def _cc_step(
-    sym: DataFrame, labels: DataFrame, jump: bool = True, small: bool = False
-) -> DataFrame:
+def _cc_step(sym: DataFrame, labels: DataFrame, jump: bool = True) -> DataFrame:
     """One label-propagation iteration: neighbor min + pointer jump.
     Plan shape (asserted in tests/test_operators_r5.py): equi-joins
     only (no cartesian), one min-aggregation; everything keyed."""
-    bl = F.broadcast(labels) if small else labels
-    prop = sym.join(bl, sym["src"] == bl["v"]).select(
+    prop = sym.join(labels, sym["src"] == labels["v"]).select(
         F.col("dst").alias("v"), F.col("lbl")
     )
     cand = labels.union(prop).groupBy("v").agg(F.min("lbl").alias("lbl"))
@@ -80,8 +80,7 @@ def _cc_step(
     # propagated labels (without this the propagation join + agg would
     # compute twice per iteration — observed as 3 joins in the plan)
     cand = _persist(cand)
-    x = cand.alias("x")
-    y = (F.broadcast(cand) if small else cand).alias("y")
+    x, y = cand.alias("x"), cand.alias("y")
     # label(v) ← min(label(v), label(label(v))): labels are always
     # vertex ids of the same component, so the self-join always matches
     return x.join(y, F.col("x.lbl") == F.col("y.v")).select(
@@ -90,20 +89,64 @@ def _cc_step(
     )
 
 
+def _cc_union_find(edges: DataFrame) -> DataFrame:
+    """Small-graph fast path: exact union-find (union-by-min root +
+    path halving) over the whole edge list in ONE task. `edges` is
+    persisted and already materialized by the caller's count(), so the
+    repartition(1) reads the tiny cached pair table — the expensive
+    candidate-generation stages upstream keep their full parallelism
+    (a coalesce(1) here would collapse them; same trap as the
+    single-split filter pushdown, see CLAUDE.md)."""
+    import pandas as pd
+
+    def uf(batches):
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]  # path halving
+                x = parent[x]
+            return x
+
+        for pdf in batches:
+            for a, b in zip(pdf["a_id"], pdf["b_id"]):
+                ra, rb = find(int(a)), find(int(b))
+                if ra != rb:
+                    if rb < ra:
+                        ra, rb = rb, ra
+                    # union by MIN root: every root is the minimum of
+                    # all ids merged under it, so the final root IS the
+                    # component-minimum doc_id (the cluster_rep contract)
+                    parent[rb] = ra
+        verts = list(parent)
+        yield pd.DataFrame(
+            {"doc_id": verts, "cluster_rep": [find(v) for v in verts]}
+        )
+
+    return edges.repartition(1).mapInPandas(
+        uf, "doc_id long, cluster_rep long"
+    )
+
+
 def connected_components(
-    edges: DataFrame, max_iter: int = CC_MAX_ITER
+    edges: DataFrame,
+    max_iter: int = CC_MAX_ITER,
+    small_graph_threshold: int = CC_SMALL_EDGES,
 ) -> DataFrame:
     """(doc_id, cluster_rep) for every vertex of `edges` (a_id, b_id),
     where cluster_rep is the minimum doc_id of the vertex's connected
-    component. Driver-looped to a fixpoint: labels only ever decrease,
-    so an unchanged label-sum between iterations proves convergence
-    (one cheap scalar agg per iteration, no extra join)."""
+    component. One materializing count() picks the strategy: at or
+    below `small_graph_threshold` edges a single-task union-find
+    resolves the graph in one pass (the common case — capped LSH pairs
+    are a sliver of the corpus); above it the iterative min-label
+    propagation loop runs, driver-looped to a fixpoint: labels only
+    ever decrease, so an unchanged label-sum between iterations proves
+    convergence (one cheap scalar agg per iteration, no extra join).
+    Both paths produce identical output (equivalence pinned in
+    tests/test_operators_r5.py)."""
     edges = _persist(edges.select("a_id", "b_id").distinct())
-    # one materializing count picks the loop's join strategy: broadcast
-    # label tables on a small graph (the common case — capped LSH pairs
-    # are orders of magnitude fewer than corpus rows), shuffle joins
-    # past CC_BROADCAST_EDGES
-    small = edges.count() <= CC_BROADCAST_EDGES
+    if edges.count() <= small_graph_threshold:
+        return _cc_union_find(edges)
     sym = _persist(
         edges.select(
             F.col("a_id").alias("src"), F.col("b_id").alias("dst")
@@ -124,9 +167,7 @@ def connected_components(
         # is the action that materializes it — one job per iteration,
         # not two. On a real cluster use checkpoint() to reliable
         # storage instead — same role, failure-tolerant.
-        labels = _cc_step(sym, labels, small=small).localCheckpoint(
-            eager=False
-        )
+        labels = _cc_step(sym, labels).localCheckpoint(eager=False)
         cur_sum = labels.agg(F.sum("lbl")).collect()[0][0]
         if cur_sum == prev_sum:
             break

@@ -97,26 +97,53 @@ def _edges_df(spark, pairs):
     )
 
 
+CC_TEST_PAIRS = (
+    # chain + pair + triangle + a 21-vertex path (exercises pointer
+    # jumping: diameter 20 must converge well inside CC_MAX_ITER)
+    [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)]
+    + [(i, i + 1) for i in range(100, 120)]
+)
+
+
+def _cc_expected():
+    exp = {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+    exp.update({i: 100 for i in range(100, 121)})
+    return exp
+
+
 def test_connected_components_resolves_transitive_chains(spark):
+    """Both strategies — the single-task union-find fast path (default
+    at this size) and the iterative label-propagation loop (forced via
+    threshold=0) — produce the identical component-minimum labelling."""
     from readability_py_spark.operators.dedup import release_caches
     from readability_py_spark.operators.groups import connected_components
 
-    # chain + pair + triangle + a 21-vertex path (exercises pointer
-    # jumping: diameter 20 must converge well inside CC_MAX_ITER)
-    pairs = (
-        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)]
-        + [(i, i + 1) for i in range(100, 120)]
-    )
-    got = {
-        r["doc_id"]: r["cluster_rep"]
-        for r in connected_components(_edges_df(spark, pairs)).collect()
-    }
+    edges = _edges_df(spark, CC_TEST_PAIRS)
+    for thr in (1_000_000, 0):
+        got = {
+            r["doc_id"]: r["cluster_rep"]
+            for r in connected_components(
+                edges, small_graph_threshold=thr
+            ).collect()
+        }
+        release_caches()
+        assert got == _cc_expected(), thr
+
+
+def test_cc_union_find_plan_is_one_task_over_cached_pairs(spark):
+    """Fast-path plan: one round-robin single-partition exchange of the
+    (tiny, cached) pair table feeding mapInPandas — a repartition, NOT
+    a coalesce, so upstream candidate generation keeps its parallelism."""
+    from readability_py_spark.operators.dedup import release_caches
+    from readability_py_spark.operators.groups import connected_components
+
+    df = connected_components(_edges_df(spark, CC_TEST_PAIRS))
+    df.write.format("noop").mode("overwrite").save()
+    plan = _final_plan(df)
     release_caches()
-    assert got[1] == got[2] == got[3] == got[4] == 1
-    assert got[10] == got[11] == 10
-    assert got[20] == got[21] == got[22] == 20
-    assert all(got[i] == 100 for i in range(100, 121))
-    assert len(got) == 4 + 2 + 3 + 21
+    assert "mapinpandas" in plan, plan
+    assert "singlepartition" in plan, plan
+    assert "coalesce" not in plan, plan
 
 
 def test_cc_step_plan_is_keyed_joins_plus_one_agg(spark):
