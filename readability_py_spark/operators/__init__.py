@@ -62,6 +62,12 @@ RETIRED = {
 LOCAL_ONLY = {
     "winnow_fingerprint",
     "kmeans_refine",
+    # round-5 corpus-preparation family (operators/packing.py): the
+    # post-filter/dedup steps of a pretraining ingest — packing,
+    # deterministic sampling, PII redaction
+    "pack_sequences",
+    "sample_stratified",
+    "pii_scrub",
 }
 
 
@@ -70,6 +76,7 @@ def merged_queries(include_retired: bool = False):
         dedup,
         groups,
         multimodal,
+        packing,
         pipeline,
         relational,
         similarity,
@@ -95,6 +102,7 @@ def merged_queries(include_retired: bool = False):
         urls,
         pipeline,
         groups,
+        packing,
     ):
         q.update(mod.QUERIES)
         o.update(mod.ORACLES)

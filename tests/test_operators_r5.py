@@ -321,3 +321,98 @@ def test_r5_driver_dict_composition():
     qa, oa = merged_queries(include_retired=True)
     for name in ("media_meta", "set_intersect", "ngram_jaccard_dups"):
         assert name in qa and name in oa
+
+
+# ---------------------------------------------------------------------------
+# corpus-preparation family (operators/packing.py, LOCAL_ONLY)
+# ---------------------------------------------------------------------------
+
+
+def test_pack_sequences_accounting_matches_serial_replay(spark):
+    """Replay one bucket's concat-and-chunk stream serially in Python
+    and check every doc's (seq_id, seq_offset, n_windows) against the
+    window-function plan."""
+    from readability_py_spark.operators.packing import (
+        PACK_BUCKETS,
+        PACK_WINDOW,
+        q_pack_sequences,
+    )
+
+    rows = q_pack_sequences(spark, SF_SMOKE).collect()
+    assert len({r["doc_id"] for r in rows}) == len(rows)
+    by_bucket: dict = {}
+    for r in rows:
+        assert r["bucket"] == r["doc_id"] % PACK_BUCKETS
+        assert 0 <= r["seq_offset"] < PACK_WINDOW
+        by_bucket.setdefault(r["bucket"], []).append(r)
+    for bucket_rows in by_bucket.values():
+        cum = 0
+        for r in sorted(bucket_rows, key=lambda r: r["doc_id"]):
+            assert r["seq_id"] == cum // PACK_WINDOW
+            assert r["seq_offset"] == cum % PACK_WINDOW
+            end = cum + r["n_tokens"] - 1
+            assert r["n_windows"] == end // PACK_WINDOW - cum // PACK_WINDOW + 1
+            cum += r["n_tokens"]
+
+
+def test_pack_sequences_plan_one_bucket_shuffle_no_global_sort(spark):
+    """Exactly one hash exchange (on the pack bucket); the in-bucket
+    window sorts per partition — no rangepartitioning (global sort)."""
+    from readability_py_spark.operators.packing import q_pack_sequences
+
+    df = q_pack_sequences(spark, SF_SMOKE)
+    df.write.format("noop").mode("overwrite").save()
+    plan = _final_plan(df)
+    assert plan.count("hashpartitioning(bucket") == 1, plan
+    assert "rangepartitioning" not in plan, plan
+    assert "roundrobin" not in plan, plan
+
+
+def test_sample_stratified_rates_and_determinism(spark):
+    """Kept fraction lands near the stratum target (md5 uniformity)
+    and the kept set is identical across runs (no RNG state)."""
+    from readability_py_spark.operators.packing import q_sample_stratified
+
+    rows = q_sample_stratified(spark, SF_SMOKE).collect()
+    again = q_sample_stratified(spark, SF_SMOKE).collect()
+    assert {(r["doc_id"], r["keep"]) for r in rows} == {
+        (r["doc_id"], r["keep"]) for r in again
+    }
+    by_lang: dict = {}
+    for r in rows:
+        tot, kept = by_lang.get(r["lang"], (0, 0))
+        by_lang[r["lang"]] = (tot + 1, kept + bool(r["keep"]))
+    en_tot, en_kept = by_lang["en"]
+    assert abs(en_kept / en_tot - 0.5) < 0.2
+    other = [(t, k) for lang, (t, k) in by_lang.items() if lang != "en"]
+    o_tot, o_kept = sum(t for t, _ in other), sum(k for _, k in other)
+    assert abs(o_kept / o_tot - 0.2) < 0.15
+
+
+def test_pii_scrub_redacts_exactly_the_decorated_docs(spark):
+    from readability_py_spark.operators.packing import q_pii_scrub
+
+    rows = q_pii_scrub(spark, SF_SMOKE).collect()
+    for r in rows:
+        did = r["doc_id"]
+        assert r["n_emails"] == (1 if did % 7 == 0 else 0), r
+        assert r["n_phones"] == (1 if did % 11 == 0 else 0), r
+        assert r["n_ips"] == (1 if did % 13 == 0 else 0), r
+        assert ("<EMAIL>" in r["scrubbed"]) == (did % 7 == 0)
+        assert ("<PHONE>" in r["scrubbed"]) == (did % 11 == 0)
+        assert ("<IP>" in r["scrubbed"]) == (did % 13 == 0)
+        assert "@" not in r["scrubbed"]
+
+
+def test_sampling_and_scrub_plans_are_map_only(spark):
+    """Both are pure projections that fuse into the scan stage — zero
+    exchanges at any split count."""
+    from readability_py_spark.operators.packing import (
+        q_pii_scrub,
+        q_sample_stratified,
+    )
+
+    for fn in (q_sample_stratified, q_pii_scrub):
+        df = fn(spark, SF_SMOKE)
+        df.write.format("noop").mode("overwrite").save()
+        assert "exchange" not in _final_plan(df), fn.__name__
