@@ -62,6 +62,9 @@ HEADLINE = [
     "top_parts_by_revenue",
     "media_decode_stub",
     "media_decode_headers",
+    "pack_sequences",
+    "sample_stratified",
+    "pii_scrub",
     "extract_articles",
 ]
 
