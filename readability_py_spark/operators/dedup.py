@@ -49,9 +49,26 @@ LSH_BUCKET_CAP = 10
 _PERSISTED: list[DataFrame] = []
 
 
-def _persist(df: DataFrame) -> DataFrame:
+def _persist(df: DataFrame, eager: bool = False) -> DataFrame:
+    """persist(), optionally forcing materialization NOW (one count()
+    over the freshly built cache).
+
+    ``eager=True`` is required whenever the SAME query references the
+    cached relation from more than one subtree: a lazy persist leaves
+    the first action to populate the cache, and under AQE the
+    independent subtrees materialize CONCURRENTLY — each first-touch
+    recomputes every partition from scratch (first block writer wins,
+    the rest is discarded) while contending on the memory-store lock.
+    Measured on the 320k-doc scaling corpus: minhash_lsh_capped's five
+    cache references launched five concurrent full shingle+signature
+    builds (~2× total core-seconds at local[32] vs local[8], half the
+    dominant stage blocked on the store) — the direct cause of the
+    0.438 scaling-pair efficiency. Eager materialization runs the
+    build exactly once, in dependency order, at full parallelism."""
     df = df.persist()
     _PERSISTED.append(df)
+    if eager:
+        df.count()
     return df
 
 
@@ -134,7 +151,7 @@ def q_ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _shingled(spark, sf_dir).withColumn(
         "band", (F.col("n_chars") / 100).cast("long")
     )
-    d = _persist(d)  # reused by both sides of the pair join
+    d = _persist(d, eager=True)  # reused by both sides of the pair join
     a = d.alias("a")
     b = d.alias("b")
     inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
@@ -321,9 +338,9 @@ def q_minhash_lsh_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     The signature and shingle-set relations are cached: both sides of
     the candidate self-join and the verify join reuse them (at corpus
     scale these would be persisted index tables, not recomputed)."""
-    sig = _persist(q_minhash_signatures(spark, sf_dir))
-    d = _persist(_shingled(spark, sf_dir).select("doc_id", "sh"))
-    return minhash_lsh_dups_from(sig, d)
+    d_full = _persist(_shingled(spark, sf_dir), eager=True)
+    sig = _persist(_band_signatures(d_full), eager=True)
+    return minhash_lsh_dups_from(sig, d_full.select("doc_id", "sh"))
 
 
 ORACLE_MINHASH_LSH_DUPS = f"""
@@ -366,18 +383,25 @@ def q_minhash_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output matches minhash_lsh_dups' shape: (a_id, b_id, jaccard);
     exact-channel pairs carry jaccard 1.0 (identical text ⇒ identical
     shingle sets ⇒ true Jaccard 1.0, so the two channels agree)."""
-    d = _persist(_shingled(spark, sf_dir))
-    sig = _persist(_band_signatures(
+    d = _persist(_shingled(spark, sf_dir), eager=True)
+    sig = _band_signatures(
         d, k=MINHASH_K_PROD, band_size=MINHASH_BAND_SIZE_PROD
-    ))
+    )
     # Bucket size via a window count, not groupBy + join-back: one hash
     # shuffle on the band key gives every signature row its bucket size
     # directly, where the join formulation cost two extra shuffles (the
     # aggregate + an SMJ re-join) for both the small and hot splits.
     # The bucket-count relation is O(corpus × bands) at 100 TB — never
     # broadcastable — so removing the join entirely beats hinting it.
-    sig_c = sig.withColumn(
-        "c", F.count(F.lit(1)).over(Window.partitionBy("band", "band_sig"))
+    # Cache the WINDOW OUTPUT (not the raw signatures): all three
+    # downstream consumers (both self-join sides, the hot-doc split)
+    # need the bucket count, so caching upstream of the window paid the
+    # band-key shuffle + count three times over.
+    sig_c = _persist(
+        sig.withColumn(
+            "c", F.count(F.lit(1)).over(Window.partitionBy("band", "band_sig"))
+        ),
+        eager=True,
     )
     small = sig_c.filter(F.col("c") <= LSH_BUCKET_CAP)
     a = small.alias("a")
@@ -671,7 +695,7 @@ SELECT a_id, b_id, hamming FROM exact
 
 def q_simhash_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     hint = _docs_view_and_hint(spark, sf_dir)
-    sig = _persist(spark.sql(_simhash_sql("spark", hint=hint)))
+    sig = _persist(spark.sql(_simhash_sql("spark", hint=hint)), eager=True)
     sig.createOrReplaceTempView("simhash_sig_cached")
     return spark.sql(_simhash_pairs_capped_sql("spark"))
 

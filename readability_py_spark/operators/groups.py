@@ -79,7 +79,7 @@ def _cc_step(sym: DataFrame, labels: DataFrame, jump: bool = True) -> DataFrame:
     # persist before the self-join: both sides of the jump reuse the
     # propagated labels (without this the propagation join + agg would
     # compute twice per iteration — observed as 3 joins in the plan)
-    cand = _persist(cand)
+    cand = _persist(cand, eager=True)
     x, y = cand.alias("x"), cand.alias("y")
     # label(v) ← min(label(v), label(label(v))): labels are always
     # vertex ids of the same component, so the self-join always matches
@@ -252,8 +252,10 @@ def q_pipeline_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min_by("text", "doc_id").alias("text"),
         )
     )
-    sh = _persist(surv.select("doc_id", shingles_of(F.col("text")).alias("sh")))
-    sig = _persist(_band_signatures(sh))
+    sh = _persist(
+        surv.select("doc_id", shingles_of(F.col("text")).alias("sh")), eager=True
+    )
+    sig = _persist(_band_signatures(sh), eager=True)
     pairs = minhash_lsh_dups_from(sig, sh).select("a_id", "b_id")
     labels = connected_components(pairs)
     s, l = surv.alias("s"), labels.alias("l")
