@@ -37,8 +37,10 @@ HEADLINE = [
     "minhash_signatures_fast",
     "minhash_lsh_dups",
     "minhash_lsh_capped",
+    "minhash_lsh_capped_fast",
     "simhash_docs",
     "simhash_pairs_capped",
+    "tfidf_cosine_pairs",
     "knn_brute_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",

@@ -44,6 +44,13 @@ DRIVER_QUERY_BUDGET = 50
 #                         exactly minhash_lsh_dups' verify stage
 #                         (identical jaccard expression over the same
 #                         shingle relation), which stays driver-green
+#   simhash_dup_pairs   — retired r5 for the tfidf_cosine_pairs slot:
+#                         its uncapped hi16-band join + hamming verify
+#                         is exactly the surviving
+#                         simhash_pairs_capped's non-hot-bucket channel
+#                         (same signature build, band key, and hamming
+#                         expression; the capped query adds only the
+#                         hot-bucket guard on top)
 RETIRED = {
     "media_decode_stub",
     "minhash_signatures",
@@ -53,6 +60,7 @@ RETIRED = {
     "set_intersect",
     "media_meta",
     "ngram_jaccard_dups",
+    "simhash_dup_pairs",
 }
 
 # Beyond-budget operators: full queries()+oracle implementations that
@@ -62,6 +70,11 @@ RETIRED = {
 LOCAL_ONLY = {
     "winnow_fingerprint",
     "kmeans_refine",
+    # production-hash (xxhash64) capped LSH dedup: no DuckDB twin;
+    # pair-set equality vs the driver-green md5 capped pipeline is
+    # pytest-pinned, and it is the query the dedup scaling pair
+    # measures (tools/dedup_scaling.py)
+    "minhash_lsh_capped_fast",
     # round-5 corpus-preparation family (operators/packing.py): the
     # post-filter/dedup steps of a pretraining ingest — packing,
     # deterministic sampling, PII redaction

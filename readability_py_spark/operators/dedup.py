@@ -25,7 +25,7 @@ only the LSH path runs.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..session import load_table, maybe_parallelize, parallelize_hint
@@ -387,6 +387,63 @@ def q_minhash_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = _band_signatures(
         d, k=MINHASH_K_PROD, band_size=MINHASH_BAND_SIZE_PROD
     )
+    return _capped_tail(
+        spark, sf_dir, d, sig, F.md5(F.encode(F.col("text"), "utf-8"))
+    )
+
+
+def q_minhash_lsh_capped_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCTION-HASH capped LSH dedup — the exact pipeline
+    q_minhash_lsh_capped runs, with every hash swapped from the
+    md5-hex oracle family to JVM-native xxhash64:
+
+    - shingles are hashed to LONGs once at shingle time
+      (``xxhash64(bigram)``) so the cached shingle relation, the k=64
+      permutation loop, AND the Jaccard verify all operate on
+      fixed-width longs instead of variable-length strings — Jaccard
+      over distinct hashed shingles equals Jaccard over the strings up
+      to 64-bit collisions (~n²/2⁶⁴, negligible at any corpus size);
+    - permutations are ``xxhash64(i, shingle_hash)`` (no per-shingle
+      string concat + utf-8 encode + hex materialization — the md5
+      family allocates three transient objects per shingle×permutation,
+      and at 32 concurrent cores that churn is the measured scaling
+      limiter of the md5 path on the 320k-doc corpus);
+    - the hot-bucket exact channel fingerprints with ``xxhash64(text)``.
+
+    No oracle (DuckDB has no xxhash64): LOCAL_ONLY; correctness is
+    pinned by pytest equality of the emitted pair set against the
+    driver-hash-green md5 pipeline at test SF
+    (tests/test_operators_r5.py)."""
+    docs = maybe_parallelize(load_table(spark, sf_dir, "documents"), spark)
+    d = _persist(
+        docs.select(
+            "doc_id",
+            F.transform(
+                shingles_of(F.col("text")), lambda s: F.xxhash64(s)
+            ).alias("sh"),
+        ),
+        eager=True,
+    )
+    sig = _band_signatures(
+        d,
+        k=MINHASH_K_PROD,
+        band_size=MINHASH_BAND_SIZE_PROD,
+        hash_col=_minhash_fast_col,
+    )
+    return _capped_tail(spark, sf_dir, d, sig, F.xxhash64(F.col("text")))
+
+
+def _capped_tail(
+    spark: SparkSession,
+    sf_dir: str,
+    d: DataFrame,
+    sig: DataFrame,
+    fp_col: Column,
+) -> DataFrame:
+    """Shared tail of the capped LSH pipelines: window bucket-count,
+    cap split, candidate self-join, Jaccard verify, hot-bucket exact
+    channel. ``d`` is the (doc_id, sh) relation (string or hashed
+    shingles), ``fp_col`` the exact-channel text fingerprint."""
     # Bucket size via a window count, not groupBy + join-back: one hash
     # shuffle on the band key gives every signature row its bucket size
     # directly, where the join formulation cost two extra shuffles (the
@@ -432,7 +489,7 @@ def q_minhash_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         sig_c.filter(F.col("c") > LSH_BUCKET_CAP).select("doc_id").distinct()
     )
     docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.md5(F.encode(F.col("text"), "utf-8")).alias("fp")
+        "doc_id", fp_col.alias("fp")
     )
     hot_fp = hot_docs.join(docs, "doc_id")
     wfp = Window.partitionBy("fp")
@@ -703,6 +760,146 @@ def q_simhash_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_SIMHASH_PAIRS_CAPPED = _simhash_pairs_capped_sql("duckdb")
 
 
+# ---------------------------------------------------------------------------
+# TF-IDF cosine all-pairs similarity via a pruned inverted index
+# ---------------------------------------------------------------------------
+
+TFIDF_N = 3  # word-trigram terms (whitespace tokens are too hot here:
+# the synthetic corpus has a ~31-token vocabulary with df ≈ 0.8N, so
+# token postings degenerate; trigrams give discriminative posting lists)
+TFIDF_DF_MIN = 2  # singleton terms cannot contribute to any pair
+TFIDF_DF_CAP = 64  # posting-list cap: the scale guard (see docstring)
+TFIDF_COS_THRESHOLD = 0.6
+
+
+def q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs document cosine similarity over tf-idf weighted
+    word-trigram vectors, computed through a df-pruned inverted index
+    (the Bayardo et al. all-pairs-similarity shape) — the lexical
+    complement of the MinHash/SimHash families: those estimate set
+    Jaccard, this computes exact weighted cosine, and it is the scoring
+    most retrieval-style near-dup audits ask for.
+
+    Plan shape (and why it survives 100 TB):
+    - postings: explode word-trigrams → groupBy (doc_id, term) tf —
+      one shuffle keyed by (doc_id, term), partial-aggregated map-side;
+    - df + idf: groupBy term (small, vocabulary-sized), then a term-key
+      join back onto the postings. Terms with df < TFIDF_DF_MIN are
+      dropped (can't pair); terms with df > TFIDF_DF_CAP are dropped —
+      that cap is THE scale bound: the candidate join's fan-out is
+      Σ_term df(term)², so capping df bounds it by |vocab|·cap²
+      (linear in corpus size), exactly the stop-term pruning of the
+      pruned-inverted-index APSS literature. Dropping ubiquitous terms
+      also loses almost no signal — their idf ≈ 0 already;
+    - idf is smoothed, ln((N+1)/df) > 0, so every surviving posting
+      has positive weight and per-doc norms are never zero (at tiny SF
+      the cap can exceed N and unsmoothed ln(N/df) would hit 0);
+    - unit-normalize per doc (one window over doc_id), self-join on
+      term (equi-join — candidates only ever meet through a shared
+      term), groupBy (a,b) summing weight products = cosine, filter at
+      the threshold BEFORE rounding.
+
+    Float discipline: cosine is round(Σ, 4) + 0.0 in both dialects
+    (CLAUDE.md: IEEE -0.0 + typed-hash rules); the corpus' cosine
+    distribution is bimodal (near-dup replicas ≥ ~0.8, unrelated docs
+    ≤ ~0.2), so the 0.6 threshold is robust to summation order."""
+    from .textstats import _gram_array
+
+    docs = maybe_parallelize(
+        load_table(spark, sf_dir, "documents"), spark
+    ).select("doc_id", "text")
+    n_total = docs.agg(F.count("*").cast("double").alias("n_total"))
+    tf = (
+        docs.select(
+            "doc_id", F.explode(_gram_array(F.col("text"), TFIDF_N)).alias("term")
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+    dfv = (
+        tf.groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .filter(
+            (F.col("df") >= TFIDF_DF_MIN) & (F.col("df") <= TFIDF_DF_CAP)
+        )
+    )
+    w = (
+        tf.join(dfv, "term")
+        .crossJoin(F.broadcast(n_total))
+        .withColumn(
+            "w", F.col("tf") * F.log((F.col("n_total") + 1.0) / F.col("df"))
+        )
+    )
+    norm_w = Window.partitionBy("doc_id")
+    # both sides of the candidate self-join read the unit-vector
+    # postings: persist EAGERLY (CLAUDE.md round-5 rule — a lazily
+    # persisted multi-referenced relation materializes concurrently
+    # under AQE, recomputing every partition per subtree)
+    u = _persist(
+        w.select(
+            "doc_id",
+            "term",
+            (
+                F.col("w") / F.sqrt(F.sum(F.col("w") * F.col("w")).over(norm_w))
+            ).alias("uw"),
+        ),
+        eager=True,
+    )
+    a, b = u.alias("a"), u.alias("b")
+    pairs = (
+        a.join(b, "term")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id")
+        )
+        .agg(F.sum(F.col("a.uw") * F.col("b.uw")).alias("cos"))
+        .filter(F.col("cos") >= TFIDF_COS_THRESHOLD)
+        .select(
+            "a_id", "b_id", (F.round(F.col("cos"), 4) + 0.0).alias("cosine")
+        )
+    )
+    return pairs
+
+
+def _oracle_tfidf() -> str:
+    from .textstats import _duck_grams
+
+    return f"""
+WITH t AS (
+  SELECT doc_id, unnest({_duck_grams(TFIDF_N)}) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM t GROUP BY doc_id, term
+),
+dfv AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+  HAVING count(*) BETWEEN {TFIDF_DF_MIN} AND {TFIDF_DF_CAP}
+),
+n AS (SELECT count(*)::DOUBLE AS n_total FROM documents),
+w AS (
+  SELECT tf.doc_id, tf.term,
+         tf.tf * ln(((SELECT n_total FROM n) + 1.0) / dfv.df) AS w
+  FROM tf JOIN dfv USING (term)
+),
+u AS (
+  SELECT doc_id, term,
+         w / sqrt(sum(w * w) OVER (PARTITION BY doc_id)) AS uw
+  FROM w
+),
+p AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, sum(a.uw * b.uw) AS cos
+  FROM u a JOIN u b USING (term)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT a_id, b_id, round(cos, 4) + 0.0 AS cosine
+FROM p WHERE cos >= {TFIDF_COS_THRESHOLD}
+"""
+
+
+ORACLE_TFIDF_COSINE_PAIRS = _oracle_tfidf()
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "ngram_jaccard_dups": q_ngram_jaccard_dups,
@@ -712,9 +909,13 @@ QUERIES = {
     "minhash_signatures_fast": q_minhash_signatures_fast,
     "minhash_lsh_dups": q_minhash_lsh_dups,
     "minhash_lsh_capped": q_minhash_lsh_capped,
+    # LOCAL_ONLY (no DuckDB xxhash64): the production-hash capped
+    # pipeline; pair-set equality vs the md5 path is pytest-pinned
+    "minhash_lsh_capped_fast": q_minhash_lsh_capped_fast,
     "simhash_docs": q_simhash_docs,
     "simhash_dup_pairs": q_simhash_dup_pairs,
     "simhash_pairs_capped": q_simhash_pairs_capped,
+    "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
 }
 
 ORACLES = {
@@ -726,4 +927,5 @@ ORACLES = {
     "simhash_docs": ORACLE_SIMHASH_DOCS,
     "simhash_dup_pairs": ORACLE_SIMHASH_DUP_PAIRS,
     "simhash_pairs_capped": ORACLE_SIMHASH_PAIRS_CAPPED,
+    "tfidf_cosine_pairs": ORACLE_TFIDF_COSINE_PAIRS,
 }

@@ -416,3 +416,87 @@ def test_sampling_and_scrub_plans_are_map_only(spark):
         df = fn(spark, SF_SMOKE)
         df.write.format("noop").mode("overwrite").save()
         assert "exchange" not in _final_plan(df), fn.__name__
+
+
+def test_tfidf_cosine_pairs_shape_and_semantics(spark):
+    """The pruned-inverted-index APSS query: candidates only meet
+    through a shared surviving term (equi-join — no cartesian), the
+    df-cap actually prunes, emitted cosines are in (0.6, 1], and the
+    pair set is symmetric-free (a_id < b_id). Cross-checks one pair's
+    cosine against a NumPy dense computation of the same tf-idf
+    weighting."""
+    import numpy as np
+
+    from readability_py_spark.operators.dedup import (
+        TFIDF_COS_THRESHOLD,
+        TFIDF_DF_CAP,
+        TFIDF_DF_MIN,
+        TFIDF_N,
+        q_tfidf_cosine_pairs,
+    )
+    from readability_py_spark.operators.textstats import _gram_array
+    from readability_py_spark.session import load_table
+
+    df = q_tfidf_cosine_pairs(spark, SF_SMOKE)
+    plan = _final_plan(df)
+    assert "cartesianproduct" not in plan
+    rows = df.collect()
+    assert rows, "no near-dup pairs at smoke SF"
+    assert all(r.a_id < r.b_id for r in rows)
+    assert all(TFIDF_COS_THRESHOLD <= r.cosine <= 1.0 + 1e-9 for r in rows)
+
+    # dense recomputation of one emitted pair's cosine
+    a_id, b_id = rows[0].a_id, rows[0].b_id
+    docs = (
+        load_table(spark, SF_SMOKE, "documents")
+        .select("doc_id", _gram_array(F.col("text"), TFIDF_N).alias("g"))
+        .collect()
+    )
+    n_total = len(docs)
+    from collections import Counter
+
+    tf = {r.doc_id: Counter(r.g) for r in docs}
+    dfc = Counter(t for c in tf.values() for t in c)
+    terms = sorted(
+        t for t, d in dfc.items() if TFIDF_DF_MIN <= d <= TFIDF_DF_CAP
+    )
+    idx = {t: i for i, t in enumerate(terms)}
+
+    def vec(doc_id):
+        v = np.zeros(len(terms))
+        for t, c in tf[doc_id].items():
+            if t in idx:
+                v[idx[t]] = c * math.log((n_total + 1.0) / dfc[t])
+        return v / np.linalg.norm(v)
+
+    expect = float(vec(a_id) @ vec(b_id))
+    assert abs(round(expect, 4) - rows[0].cosine) <= 1e-4
+
+
+def test_minhash_lsh_capped_fast_matches_md5_pipeline(spark):
+    """The production-hash (xxhash64) capped LSH pipeline emits the
+    SAME (a_id, b_id, jaccard) set as the driver-hash-green md5
+    pipeline: hashed-shingle Jaccard equals string-shingle Jaccard up
+    to 64-bit collisions, banding differs only in which hash family
+    names the buckets, and the corpus' true near-dup pairs (replica
+    Jaccard >= threshold) collide in >=1 of 16 bands under either
+    family at this SF."""
+    from readability_py_spark.operators.dedup import (
+        q_minhash_lsh_capped,
+        q_minhash_lsh_capped_fast,
+        release_caches,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    md5_rows = {
+        (r.a_id, r.b_id, r.jaccard)
+        for r in q_minhash_lsh_capped(spark, sf).collect()
+    }
+    release_caches()
+    fast_rows = {
+        (r.a_id, r.b_id, r.jaccard)
+        for r in q_minhash_lsh_capped_fast(spark, sf).collect()
+    }
+    release_caches()
+    assert md5_rows, "md5 capped pipeline found no pairs at sf0.01"
+    assert fast_rows == md5_rows

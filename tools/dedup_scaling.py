@@ -47,7 +47,7 @@ K_REPLICAS = int(os.environ.get("SPARK_GRAFT_DEDUP_REPLICAS", "8"))
 SRC_SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 TIMED_REPS = int(os.environ.get("SPARK_GRAFT_DEDUP_REPS", "2"))
 MAX_RUN_STEAL_PCT = 1.0
-QUERY = "minhash_lsh_capped"
+QUERY = os.environ.get("SPARK_GRAFT_DEDUP_QUERY", "minhash_lsh_capped_fast")
 
 
 def corpus_dir(n_docs: int) -> str:
@@ -190,6 +190,33 @@ def main() -> None:
     )
     sf_dir, n_docs = build_corpus(SRC_SF)
     r32 = r8 = None
+    # SPARK_GRAFT_DEDUP_SEED32=1: reuse the newest certified local[32]
+    # run for this exact (query, corpus) from scaling_history.jsonl
+    # instead of re-measuring it. Honest reuse: the seeded run was
+    # itself steal-gated and every attempt is in the history; this
+    # exists because a local[32] level certifies in ~4 min while a
+    # clean local[8] window can take hours of neighbor-waiting, and
+    # re-paying the 32-core level per attempt wastes the quiet windows.
+    if os.environ.get("SPARK_GRAFT_DEDUP_SEED32") == "1":
+        hist = os.path.join(REPO, "scaling_history.jsonl")
+        if os.path.exists(hist):
+            for line in open(hist):
+                try:
+                    rec = json.loads(line)
+                except ValueError:
+                    continue
+                if (
+                    rec.get("event") == "dedup_run"
+                    and rec.get("label") == "local32"
+                    and rec.get("query") == QUERY
+                    and rec.get("input") == sf_dir
+                    and rec.get("input_docs") == n_docs
+                    and rec.get("wall_sec") is not None
+                ):
+                    r32 = {k: v for k, v in rec.items() if k not in ("event", "ts", "input")}
+        if r32:
+            print("seeded local32 from history: %.2fs (steal %.1f%%)"
+                  % (r32["wall_sec"], r32["steal_pct"]))
     while time.monotonic() < deadline and not (r32 and r8):
         if os.getloadavg()[0] > 2.0:
             time.sleep(60)
@@ -217,16 +244,25 @@ def main() -> None:
     }
     print(json.dumps(result, indent=2))
     _history_append({"event": "dedup_pair", **result})
+    # dedup_scaling.json holds the best pair PER QUERY (the md5 oracle
+    # path and the xxhash64 production path are different workloads —
+    # keep-best compares only within a query's own record)
     out_path = os.path.join(REPO, "dedup_scaling.json")
+    book: dict = {}
     if os.path.exists(out_path):
         with open(out_path) as fh:
             prev = json.load(fh)
-        if prev.get("scaling_efficiency", 0) >= eff:
-            print("kept previous dedup_scaling.json (%.3f >= %.3f)"
-                  % (prev["scaling_efficiency"], eff))
-            return
+        book = prev if "pairs" in prev else {"pairs": {prev["query"]: prev}}
+    else:
+        book = {"pairs": {}}
+    old = book["pairs"].get(QUERY)
+    if old and old.get("scaling_efficiency", 0) >= eff:
+        print("kept previous %s pair (%.3f >= %.3f)"
+              % (QUERY, old["scaling_efficiency"], eff))
+        return
+    book["pairs"][QUERY] = result
     with open(out_path, "w") as fh:
-        json.dump(result, fh, indent=1)
+        json.dump(book, fh, indent=1)
     with open(os.path.join(REPO, "BENCH.md"), "a") as fh:
         fh.write(
             "\n## Dedup-query scaling pair (updated — tools/dedup_scaling.py)\n\n"

@@ -32,7 +32,7 @@ spark = build_session(
     shuffle_partitions=str(2 * cores),
 )
 spark.sparkContext.setLogLevel("WARN")
-fn = merged_queries(include_retired=True)[0]["minhash_lsh_capped"]
+fn = merged_queries(include_retired=True)[0][os.environ.get("SPARK_GRAFT_DEDUP_QUERY", "minhash_lsh_capped")]
 
 
 def rep():
