@@ -81,6 +81,12 @@ LOCAL_ONLY = {
     "pack_sequences",
     "sample_stratified",
     "pii_scrub",
+    # round-5 time-series join family (operators/timeseries.py):
+    # as-of join (union+window rewrite, zero joins in the plan) and
+    # bucketed range join (interval containment as an equi-join) —
+    # DuckDB's native ASOF / inequality joins are the oracles
+    "events_asof_join",
+    "range_count_join",
 }
 
 
@@ -94,6 +100,7 @@ def merged_queries(include_retired: bool = False):
         relational,
         similarity,
         textstats,
+        timeseries,
         urls,
     )
     from ..plans import extract_job
@@ -116,6 +123,7 @@ def merged_queries(include_retired: bool = False):
         pipeline,
         groups,
         packing,
+        timeseries,
     ):
         q.update(mod.QUERIES)
         o.update(mod.ORACLES)

@@ -1,0 +1,213 @@
+"""Time-series join operators Spark lacks natively: as-of join and
+range (interval-containment) join, expressed as compositions of
+existing DataFrame ops so Catalyst keeps full visibility (SURVEY.md
+§2.2 joins family; reference has no analogue — single-document tool —
+these are the §2.3 event-pipeline consumers).
+
+Both are LOCAL_ONLY (the 50-entry driver dict is full): full
+queries()+oracle_sql() pairs verified by the local typed harness via
+``merged_queries(include_retired=True)``, with DuckDB's native
+``ASOF LEFT JOIN`` / inequality join as genuinely independent oracle
+algorithms.
+
+Scale shapes (the reason these exist as named operators):
+
+- **As-of join**: the naive formulation is an inequality join
+  (``a.ts >= b.ts`` + argmax), which Spark can only execute as a
+  broadcast-nested-loop or cartesian — quadratic at 100 TB. The
+  scalable form here is the classic union+window rewrite: tag both
+  streams, union, one hash shuffle on the key, one partition-local
+  sort, ``last(..., ignorenulls)`` running window. Zero joins in the
+  plan; cost is one exchange of (A+B), identical to a plain groupBy.
+- **Range join**: naive is again an inequality join. The scalable
+  form buckets time into fixed-width epochs: each interval explodes
+  into the (few) buckets it covers, each probe row computes its single
+  bucket, and the match becomes a (key, bucket) **equi-join** followed
+  by the exact range filter — shuffle-hash-joinable, skew-salvageable,
+  never nested-loop. Bucket width is chosen so intervals span ≤ 2
+  buckets (width == max interval length).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..session import load_table
+
+# Window length for the range join (and its bucket width — equal by
+# construction so every interval covers at most 2 buckets). 4h keeps
+# the oracle non-thin at sf0.001 (10 matched windows vs 1 at 30min).
+RANGE_WINDOW_SEC = 14400
+
+
+def q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each ``purchase`` event matched to the latest
+    ``click`` by the same user at-or-before its timestamp (the
+    attribution query every event pipeline runs).
+
+    Plan: filter both streams off one scan, tag + union, ONE shuffle
+    on user_id, running ``last(ignorenulls)`` window — the whole as-of
+    is a single exchange (plan-asserted), no join operator and no
+    pre-aggregation. Ordering (ts, is_probe, event_id) encodes both
+    semantics knobs: a click sorts before a purchase at the same
+    timestamp (tag 0 < 1 → inclusive match, exactly DuckDB's
+    ``p.ts >= c.ts``), and same-timestamp clicks sort by event_id so
+    the running ``last`` picks the max-event_id winner — the same
+    deterministic tie-break the oracle materializes with its
+    pre-dedup GROUP BY (DuckDB's ASOF leaves same-timestamp ties
+    unspecified, so the oracle must resolve them before the as-of).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("c_event_id")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("p_event_id")
+    )
+    tagged = purchases.select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("is_probe"),
+        F.col("p_event_id").alias("event_id"),
+        "p_event_id",
+        F.lit(None).cast("long").alias("c_event_id"),
+    ).unionByName(
+        clicks.select(
+            "user_id",
+            "ts",
+            F.lit(0).alias("is_probe"),
+            F.col("c_event_id").alias("event_id"),
+            F.lit(None).cast("long").alias("p_event_id"),
+            "c_event_id",
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_probe", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = tagged.withColumn(
+        "m_event_id", F.last("c_event_id", ignorenulls=True).over(w)
+    ).withColumn(
+        "m_ts",
+        F.last(F.when(F.col("is_probe") == 0, F.col("ts")), ignorenulls=True).over(w),
+    )
+    return matched.filter(F.col("is_probe") == 1).select(
+        "p_event_id",
+        "user_id",
+        F.coalesce("m_event_id", F.lit(-1)).alias("c_event_id"),
+        F.coalesce(
+            F.unix_timestamp("ts") - F.unix_timestamp("m_ts"), F.lit(-1)
+        ).alias("gap_sec"),
+    )
+
+
+# DuckDB executes this with its native ASOF algorithm (sort + merge) —
+# an independent implementation of the same semantics, not a
+# re-statement of the union+window rewrite.
+ORACLE_EVENTS_ASOF_JOIN = """
+WITH clicks AS (
+  SELECT user_id, ts, MAX(event_id) AS c_event_id
+  FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+),
+purchases AS (
+  SELECT event_id AS p_event_id, user_id, ts
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT p.p_event_id, p.user_id,
+       COALESCE(c.c_event_id, -1) AS c_event_id,
+       COALESCE(CAST(date_diff('second', c.ts, p.ts) AS BIGINT), -1) AS gap_sec
+FROM purchases p ASOF LEFT JOIN clicks c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
+def q_range_count_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval-containment) join: count + sum the ``error``
+    events falling inside each user's 4-hour post-``signup`` window
+    (``signup.ts <= error.ts < signup.ts + 4h``).
+
+    Plan: both sides derive an epoch bucket of width == the window
+    length, so every interval covers at most 2 buckets
+    (``array_distinct`` collapses the boundary-aligned case) and every
+    probe row exactly 1 — each matching pair therefore meets exactly
+    once and the pre-filter join is a plain **equi-join** on
+    (user_id, bucket), then the exact range predicate + aggregation.
+    Windows with zero errors keep inner-join semantics (not emitted).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    win_w = RANGE_WINDOW_SEC
+    windows = (
+        ev.filter(F.col("event_type") == "signup")
+        .select(
+            F.col("event_id").alias("w_event_id"),
+            "user_id",
+            F.col("ts").alias("w_start"),
+            (F.col("ts") + F.expr(f"INTERVAL {win_w} SECONDS")).alias("w_end"),
+        )
+        .withColumn(
+            "bucket",
+            F.explode(
+                F.array_distinct(
+                    F.array(
+                        F.floor(F.unix_timestamp("w_start") / win_w),
+                        F.floor(
+                            (F.unix_timestamp("w_start") + win_w) / win_w
+                        ),
+                    )
+                )
+            ),
+        )
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("ts").alias("e_ts"),
+        "value",
+        F.floor(F.unix_timestamp("ts") / win_w).alias("bucket"),
+    )
+    return (
+        windows.join(errors, on=["user_id", "bucket"])
+        .filter((F.col("e_ts") >= F.col("w_start")) & (F.col("e_ts") < F.col("w_end")))
+        .groupBy("w_event_id", "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_errors"),
+            (
+                F.round(
+                    F.sum(F.col("value").cast("decimal(18,4)")).cast("double"), 4
+                )
+                + F.lit(0.0)
+            ).alias("err_value_sum"),
+        )
+    )
+
+
+ORACLE_RANGE_COUNT_JOIN = f"""
+WITH w AS (
+  SELECT event_id AS w_event_id, user_id, ts AS w_start,
+         ts + INTERVAL {RANGE_WINDOW_SEC} SECOND AS w_end
+  FROM events WHERE event_type = 'signup'
+),
+e AS (
+  SELECT user_id, ts AS e_ts, value
+  FROM events WHERE event_type = 'error'
+)
+SELECT w.w_event_id, w.user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_errors,
+       ROUND(CAST(SUM(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE), 4) + 0.0
+         AS err_value_sum
+FROM w JOIN e
+  ON w.user_id = e.user_id AND e.e_ts >= w.w_start AND e.e_ts < w.w_end
+GROUP BY w.w_event_id, w.user_id
+"""
+
+
+QUERIES = {
+    "events_asof_join": q_events_asof_join,
+    "range_count_join": q_range_count_join,
+}
+
+ORACLES = {
+    "events_asof_join": ORACLE_EVENTS_ASOF_JOIN,
+    "range_count_join": ORACLE_RANGE_COUNT_JOIN,
+}

@@ -500,3 +500,102 @@ def test_minhash_lsh_capped_fast_matches_md5_pipeline(spark):
     release_caches()
     assert md5_rows, "md5 capped pipeline found no pairs at sf0.01"
     assert fast_rows == md5_rows
+
+
+# ---------------------------------------------------------------------------
+# Time-series joins (operators/timeseries.py)
+# ---------------------------------------------------------------------------
+
+
+def test_events_asof_join_plan_is_single_exchange_no_join(spark):
+    """The as-of join must be the union+window rewrite: exactly one
+    hash exchange (the user_id shuffle) and NO join operator — the
+    naive inequality-join formulation would plan a nested-loop and be
+    quadratic at scale."""
+    from readability_py_spark.operators.timeseries import q_events_asof_join
+
+    plan = _final_plan(q_events_asof_join(spark, SF_SMOKE))
+    assert "join" not in plan
+    assert plan.count("exchange hashpartitioning") == 1
+    assert "window" in plan
+
+
+def test_events_asof_join_semantics(spark):
+    """Every purchase matches the max-ts click at-or-before it (ties
+    by max event_id), or (-1, -1) when the user has no prior click —
+    checked against an independent in-memory replay."""
+    from readability_py_spark.operators.timeseries import q_events_asof_join
+    from readability_py_spark.session import load_table
+
+    got = {
+        r.p_event_id: (r.c_event_id, r.gap_sec)
+        for r in q_events_asof_join(spark, SF_SMOKE).collect()
+    }
+    ev = load_table(spark, SF_SMOKE, "events").collect()
+    clicks_by_user: dict = {}
+    for r in ev:
+        if r.event_type == "click":
+            clicks_by_user.setdefault(r.user_id, []).append((r.ts, r.event_id))
+    for v in clicks_by_user.values():
+        v.sort()
+    import bisect
+
+    for r in ev:
+        if r.event_type != "purchase":
+            continue
+        clicks = clicks_by_user.get(r.user_id, [])
+        i = bisect.bisect_right(clicks, (r.ts, float("inf")))
+        if i == 0:
+            assert got[r.event_id] == (-1, -1)
+        else:
+            ts, _ = clicks[i - 1]
+            # max event_id among clicks sharing the winning timestamp
+            eid = max(e for t, e in clicks if t == ts)
+            gap = int(r.ts.timestamp()) - int(ts.timestamp())
+            assert got[r.event_id] == (eid, gap)
+
+
+def test_range_count_join_is_equi_join_not_nested_loop(spark):
+    """The bucketed range join must plan as an equi-join on
+    (user_id, bucket): no BroadcastNestedLoopJoin / CartesianProduct
+    (what Spark gives the naive inequality predicate)."""
+    from readability_py_spark.operators.timeseries import q_range_count_join
+
+    plan = _final_plan(q_range_count_join(spark, SF_SMOKE))
+    assert "broadcastnestedloop" not in plan
+    assert "cartesian" not in plan
+    assert any(
+        j in plan
+        for j in ("broadcasthashjoin", "sortmergejoin", "shuffledhashjoin")
+    )
+
+
+def test_range_count_join_counts_match_naive_replay(spark):
+    """Bucketing is invisible: counts equal a direct per-window scan
+    replay (windows at bucket boundaries must not double-count)."""
+    from readability_py_spark.operators.timeseries import (
+        RANGE_WINDOW_SEC,
+        q_range_count_join,
+    )
+    from readability_py_spark.session import load_table
+
+    got = {
+        (r.w_event_id, r.user_id): r.n_errors
+        for r in q_range_count_join(spark, SF_SMOKE).collect()
+    }
+    ev = load_table(spark, SF_SMOKE, "events").collect()
+    errors = [(r.user_id, r.ts) for r in ev if r.event_type == "error"]
+    expect = {}
+    for r in ev:
+        if r.event_type != "signup":
+            continue
+        n = sum(
+            1
+            for u, ts in errors
+            if u == r.user_id
+            and ts >= r.ts
+            and (ts - r.ts).total_seconds() < RANGE_WINDOW_SEC
+        )
+        if n:
+            expect[(r.event_id, r.user_id)] = n
+    assert got == expect
