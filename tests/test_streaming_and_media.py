@@ -143,3 +143,82 @@ def test_decode_real_is_gated():
 
     with pytest.raises(NotImplementedError):
         decode_real(b"\xff\xd8\xff")
+
+
+def test_streaming_sessionize_matches_batch_twin(spark, tmp_path):
+    """The applyInPandasWithState sessionizer must emit exactly the
+    sessions the batch lag+cumsum sessionizer computes over the same
+    fully-drained input: gap-closed sessions flush with the data,
+    open sessions flush when a later file-drop advances the watermark
+    past their timeout (driven through a checkpointed parquet sink
+    with a restart between drops, so timeout state also survives
+    recovery)."""
+    from pyspark.sql import functions as F
+
+    from readability_py_spark.operators.relational import (
+        q_sessionize_events,
+    )
+    from readability_py_spark.streaming.extract_stream import (
+        run_to_parquet_sink,
+    )
+    from readability_py_spark.streaming.sessionize_stream import (
+        EVENTS_SCHEMA,
+        events_stream,
+        streaming_sessionize,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    ev = (
+        spark.read.parquet(os.path.join(sf, "events.parquet"))
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .orderBy("ts", "event_id")
+        .collect()
+    )
+    half = ev[: len(ev) // 2], ev[len(ev) // 2 :]
+
+    # drop 1: first half (time-ordered split, so no cross-drop lates)
+    spark.createDataFrame(half[0], EVENTS_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+    run_to_parquet_sink(
+        streaming_sessionize(events_stream(spark, in_dir)), out_dir, ckpt
+    )
+
+    # drop 2: second half + a far-future sentinel that pushes the
+    # watermark past every real session's timeout, restart from the
+    # same checkpoint
+    sentinel_uid = 10**9
+    import datetime as dt
+
+    far = dt.datetime(2030, 1, 1)
+    rows2 = [tuple(r) for r in half[1]] + [
+        (10**9, far, sentinel_uid, "click", 0.0)
+    ]
+    spark.createDataFrame(rows2, EVENTS_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+    run_to_parquet_sink(
+        streaming_sessionize(events_stream(spark, in_dir)), out_dir, ckpt
+    )
+
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in spark.read.parquet(out_dir).collect()
+        if r.user_id != sentinel_uid
+    }
+    expect = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in q_sessionize_events(spark, sf)
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .collect()
+    }
+    assert got == expect
