@@ -60,6 +60,8 @@ HEADLINE = [
     "price_quartiles",
     "price_quartiles_approx",
     "sessionize_events",
+    "events_asof_join",
+    "range_count_join",
     "events_pivot",
     "top_parts_by_revenue",
     "media_decode_stub",
