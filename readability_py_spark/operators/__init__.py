@@ -87,6 +87,9 @@ LOCAL_ONLY = {
     # DuckDB's native ASOF / inequality joins are the oracles
     "events_asof_join",
     "range_count_join",
+    # cross-doc substring-duplication candidates via shared winnowing
+    # fingerprints (the winnow_fingerprint consumer)
+    "winnow_dup_candidates",
 }
 
 

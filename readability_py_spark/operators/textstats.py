@@ -10,7 +10,7 @@ the per-document extraction equivalents run inside the Arrow UDF.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..session import load_table, maybe_parallelize, parallelize_hint
@@ -692,6 +692,107 @@ def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_WINNOW_FINGERPRINT = _winnow_sql("duckdb")
 
 
+# Cross-doc consumer of the winnowing fingerprints: substring-level
+# duplication candidates (the motivation of suffix-array substring
+# dedup — Lee et al., "Deduplicating Training Data Makes Language
+# Models Better" — approximated at MOSS granularity: two docs sharing
+# many selected k-gram fingerprints share long literal regions, which
+# neither MinHash (whole-doc Jaccard) nor SimHash (global bit profile)
+# surfaces when the docs are otherwise different).
+WINNOW_FP_CAP = 32  # hot-fingerprint posting cap (boilerplate guard)
+WINNOW_PAIR_PCT = 35  # keep pairs sharing >= 35% of the smaller side
+
+
+def q_winnow_dup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-duplication candidate pairs via shared winnowing
+    fingerprints: explode each doc's fingerprint set into postings,
+    drop fingerprints hotter than WINNOW_FP_CAP (shared boilerplate —
+    the stop-term prune; at 100 TB this bounds the self-join fan-out
+    by |fingerprint vocab|·cap², linear in corpus size), self-join on
+    fingerprint (equi-join — candidates only meet through a shared
+    fingerprint, never all-pairs), and keep pairs where the shared
+    count covers >= 35% of the smaller doc's fingerprints. The
+    threshold compares in integer arithmetic (shared·100 >= 35·mn) so
+    no float boundary can split the engines.
+
+    Two eager persists, in dependency order: (1) the fingerprint
+    relation — NOT an optimization but a correctness-of-runtime
+    requirement: stacking Generate/Window/Join over the un-cached
+    winnow projection lets CollapseProject inline the (huge) selection
+    expression tree into every consumer and analysis/codegen blows up
+    (observed: posts.count() alone never finished in 290s; with the
+    cache boundary it is 0.4s); (2) the capped posting relation, which
+    feeds BOTH sides of the self-join (lazy persist + multi-reference
+    recomputes concurrently under AQE; see CLAUDE.md round-5 notes)."""
+    from .dedup import _persist
+
+    docs = load_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("documents")
+    fp = _persist(
+        spark.sql(_winnow_sql("spark", hint=parallelize_hint(spark, docs))),
+        eager=True,
+    )
+    posts = fp.select("doc_id", "n_fps", F.explode("fps").alias("f"))
+    capped = _persist(
+        posts.withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("f"))
+        )
+        .filter(F.col("df") <= WINNOW_FP_CAP)
+        .drop("df"),
+        eager=True,
+    )
+    a, b = capped.alias("a"), capped.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.f") == F.col("b.f"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("shared_fps"),
+            F.least(F.min("a.n_fps"), F.min("b.n_fps")).alias("mn"),
+        )
+        .filter(
+            F.col("shared_fps") * 100 >= F.lit(WINNOW_PAIR_PCT) * F.col("mn")
+        )
+        .select(
+            "a_id",
+            "b_id",
+            "shared_fps",
+            (F.round(F.col("shared_fps") / F.col("mn"), 4) + F.lit(0.0)).alias(
+                "containment"
+            ),
+        )
+    )
+
+
+ORACLE_WINNOW_DUP_CANDIDATES = f"""
+WITH fp AS ({_winnow_sql("duckdb").strip()}),
+posts AS (SELECT doc_id, n_fps, unnest(fps) AS f FROM fp),
+capped AS (
+  SELECT doc_id, n_fps, f FROM (
+    SELECT doc_id, n_fps, f, COUNT(*) OVER (PARTITION BY f) AS df
+    FROM posts
+  ) WHERE df <= {WINNOW_FP_CAP}
+),
+pairs AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         CAST(COUNT(*) AS BIGINT) AS shared_fps,
+         LEAST(MIN(a.n_fps), MIN(b.n_fps)) AS mn
+  FROM capped a JOIN capped b
+    ON a.f = b.f AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT a_id, b_id, shared_fps,
+       ROUND(shared_fps / mn, 4) + 0.0 AS containment
+FROM pairs
+WHERE shared_fps * 100 >= {WINNOW_PAIR_PCT} * mn
+"""
+
+
 # ---------------------------------------------------------------------------
 # Eval-set decontamination (VERDICT r4 "Next round" #4): the standard
 # pretraining gate that flags corpus documents sharing long n-grams
@@ -785,6 +886,7 @@ FROM d CROSS JOIN evarr
 
 QUERIES = {
     "winnow_fingerprint": q_winnow_fingerprint,
+    "winnow_dup_candidates": q_winnow_dup_candidates,
     "decontaminate": q_decontaminate,
     "vocab_topk": q_vocab_topk,
     "token_stats": q_token_stats,
@@ -798,6 +900,7 @@ QUERIES = {
 
 ORACLES = {
     "winnow_fingerprint": ORACLE_WINNOW_FINGERPRINT,
+    "winnow_dup_candidates": ORACLE_WINNOW_DUP_CANDIDATES,
     "decontaminate": ORACLE_DECONTAMINATE,
     "gopher_lines": ORACLE_GOPHER_LINES,
     "vocab_topk": ORACLE_VOCAB_TOPK,

@@ -599,3 +599,35 @@ def test_range_count_join_counts_match_naive_replay(spark):
         if n:
             expect[(r.event_id, r.user_id)] = n
     assert got == expect
+
+
+def test_winnow_dup_candidates_plan_and_semantics(spark):
+    """Cross-doc substring-dup candidates: equi-join on fingerprint
+    (never nested-loop/cartesian), and the containment threshold holds
+    for every emitted pair (integer arithmetic, so no float boundary).
+    Also guards the Catalyst hazard this operator documents: the query
+    must finish fast — without the eager persist below the explode,
+    CollapseProject inlines the winnow selection tree into every
+    consumer and the plan never finishes compiling."""
+    import time
+
+    from readability_py_spark.operators.dedup import release_caches
+    from readability_py_spark.operators.textstats import (
+        WINNOW_PAIR_PCT,
+        q_winnow_dup_candidates,
+    )
+
+    t0 = time.monotonic()
+    df = q_winnow_dup_candidates(spark, SF_SMOKE)
+    plan = _final_plan(df)
+    assert "broadcastnestedloop" not in plan
+    assert "cartesian" not in plan
+    rows = df.collect()
+    release_caches()
+    assert time.monotonic() - t0 < 120
+    assert rows, "no substring-dup candidates at sf0.001"
+    for r in rows:
+        assert r.a_id < r.b_id
+        assert 0 < r.containment <= 1.0
+        # shared*100 >= PCT*mn  ⇒  containment >= PCT/100 (up to round)
+        assert r.containment >= WINNOW_PAIR_PCT / 100 - 1e-4
