@@ -48,6 +48,7 @@ HEADLINE = [
     "token_stats",
     "quality_score",
     "quality_gopher",
+    "quality_classifier",
     "gopher_lines",
     "repetition_stats",
     "url_normalize",

@@ -90,6 +90,8 @@ LOCAL_ONLY = {
     # cross-doc substring-duplication candidates via shared winnowing
     # fingerprints (the winnow_fingerprint consumer)
     "winnow_dup_candidates",
+    # hashed-feature linear quality model (in-row integer dot product)
+    "quality_classifier",
 }
 
 

@@ -794,6 +794,99 @@ WHERE shared_fps * 100 >= {WINNOW_PAIR_PCT} * mn
 
 
 # ---------------------------------------------------------------------------
+# Model-based quality scoring: a fasttext-style LINEAR classifier over
+# hashed word uni+bigram features — the "quality model" gate every
+# pretraining ingest runs after the rule-based Gopher filters. The
+# architecture is the point, not the weights (here a deterministic
+# stand-in vector; a trained model swaps in as the same literal/
+# broadcast array): feature hashing makes the model a fixed-size
+# dense vector, so scoring is dot(counts, w) = Σ_token w[bucket(token)]
+# — an IN-ROW fold, map-only, zero shuffles, no Python. All arithmetic
+# is integer (milli-weights), so both engines agree bit-for-bit.
+# ---------------------------------------------------------------------------
+
+QC_DIM = 64  # hashed feature buckets
+# deterministic milli-weights in [-500, 500] (Knuth multiplicative
+# stand-in; a real model's quantized weights land in the same literal)
+QC_WEIGHTS = [((j * 2654435761) % 1001) - 500 for j in range(QC_DIM)]
+
+
+def _quality_classifier_sql(dialect: str, hint: str = "") -> str:
+    d = QC_DIM
+    if dialect == "spark":
+        w_lit = "array(" + ", ".join(map(str, QC_WEIGHTS)) + ")"
+        bucket = (
+            f"CAST(CAST(conv(substr(md5({{t}}), 1, 4), 16, 10) AS INT) "
+            f"% {d} AS INT) + 1"
+        )
+        uni = (
+            f"aggregate(ws, 0L, (acc, w) -> acc + element_at({w_lit}, "
+            + bucket.format(t="w")
+            + "))"
+        )
+        bi_tok = (
+            "transform(sequence(1, size(ws) - 1), i -> "
+            "concat(element_at(ws, CAST(i AS INT)), '_', "
+            "element_at(ws, CAST(i + 1 AS INT))))"
+        )
+        # sequence(1, n) DESCENDS when n < 1 → size guard (CLAUDE.md)
+        bi = (
+            f"CASE WHEN size(ws) >= 2 THEN aggregate({bi_tok}, 0L, "
+            f"(acc, w) -> acc + element_at({w_lit}, "
+            + bucket.format(t="w")
+            + ")) ELSE 0L END"
+        )
+        return rf"""
+WITH t AS (
+  SELECT {hint}doc_id, split(trim(lower(text)), '\\s+') AS ws
+  FROM documents
+)
+SELECT doc_id,
+       CAST({uni} + {bi} AS BIGINT) AS score_milli,
+       ({uni} + {bi}) > 0 AS keep
+FROM t
+"""
+    w_lit = "[" + ", ".join(map(str, QC_WEIGHTS)) + "]"
+    bucket = f"(CAST('0x' || substr(md5({{t}}), 1, 4) AS INT) % {d}) + 1"
+    uni = (
+        f"COALESCE(list_sum(list_transform(ws, w -> {w_lit}["
+        + bucket.format(t="w")
+        + "])), 0)"
+    )
+    bi = (
+        f"CASE WHEN len(ws) >= 2 THEN COALESCE(list_sum("
+        f"list_transform(range(1, len(ws)), i -> {w_lit}["
+        + bucket.format(t="ws[i] || '_' || ws[i+1]")
+        + "])), 0) ELSE 0 END"
+    )
+    return rf"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+  FROM documents
+)
+SELECT doc_id,
+       CAST({uni} + {bi} AS BIGINT) AS score_milli,
+       CAST({uni} + {bi} AS BIGINT) > 0 AS keep
+FROM t
+"""
+
+
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed linear quality model (see block comment above): in-row
+    integer dot product over md5-bucketed uni+bigram features —
+    map-only; at 100 TB the plan is scan → project, the model vector
+    rides the plan as a literal (or a broadcast for large dims)."""
+    docs = load_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("documents")
+    return spark.sql(
+        _quality_classifier_sql("spark", hint=parallelize_hint(spark, docs))
+    )
+
+
+ORACLE_QUALITY_CLASSIFIER = _quality_classifier_sql("duckdb")
+
+
+# ---------------------------------------------------------------------------
 # Eval-set decontamination (VERDICT r4 "Next round" #4): the standard
 # pretraining gate that flags corpus documents sharing long n-grams
 # with held-out evaluation sets (the published recipe is 13-gram
@@ -887,6 +980,7 @@ FROM d CROSS JOIN evarr
 QUERIES = {
     "winnow_fingerprint": q_winnow_fingerprint,
     "winnow_dup_candidates": q_winnow_dup_candidates,
+    "quality_classifier": q_quality_classifier,
     "decontaminate": q_decontaminate,
     "vocab_topk": q_vocab_topk,
     "token_stats": q_token_stats,
@@ -901,6 +995,7 @@ QUERIES = {
 ORACLES = {
     "winnow_fingerprint": ORACLE_WINNOW_FINGERPRINT,
     "winnow_dup_candidates": ORACLE_WINNOW_DUP_CANDIDATES,
+    "quality_classifier": ORACLE_QUALITY_CLASSIFIER,
     "decontaminate": ORACLE_DECONTAMINATE,
     "gopher_lines": ORACLE_GOPHER_LINES,
     "vocab_topk": ORACLE_VOCAB_TOPK,

@@ -631,3 +631,29 @@ def test_winnow_dup_candidates_plan_and_semantics(spark):
         assert 0 < r.containment <= 1.0
         # shared*100 >= PCT*mn  ⇒  containment >= PCT/100 (up to round)
         assert r.containment >= WINNOW_PAIR_PCT / 100 - 1e-4
+
+
+def test_quality_classifier_is_map_only_and_integer_exact(spark):
+    """The hashed linear quality model must stay an in-row fold: no
+    exchange beyond the gated single-split parallelizer, no join, no
+    generate — and its score is exact integer algebra (milli-weights),
+    reproducible bit-for-bit."""
+    from readability_py_spark.operators.textstats import (
+        QC_DIM,
+        QC_WEIGHTS,
+        q_quality_classifier,
+    )
+
+    assert len(QC_WEIGHTS) == QC_DIM
+    assert all(-500 <= w <= 500 for w in QC_WEIGHTS)
+    df = q_quality_classifier(spark, SF_SMOKE)
+    plan = _final_plan(df)
+    assert "join" not in plan
+    assert "generate" not in plan
+    # only the split-starvation repartition may appear, never a hash
+    # exchange (no aggregation/shuffle in a per-doc scorer)
+    assert "exchange hashpartitioning" not in plan
+    rows = df.collect()
+    assert len(rows) == 500
+    for r in rows[:50]:
+        assert r.keep == (r.score_milli > 0)
