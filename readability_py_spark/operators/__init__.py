@@ -92,6 +92,8 @@ LOCAL_ONLY = {
     "winnow_dup_candidates",
     # hashed-feature linear quality model (in-row integer dot product)
     "quality_classifier",
+    # hypertable-style multi-resolution continuous aggregate
+    "events_rollup_multires",
 }
 
 

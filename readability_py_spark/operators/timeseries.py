@@ -211,3 +211,76 @@ ORACLES = {
     "events_asof_join": ORACLE_EVENTS_ASOF_JOIN,
     "range_count_join": ORACLE_RANGE_COUNT_JOIN,
 }
+
+
+def q_events_rollup_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-resolution continuous aggregate: hourly,
+    daily, and monthly event rollups where each coarser resolution is
+    computed FROM the finer one's partials, never from raw events —
+    the incremental-rollup pattern of a time-series store. The hourly
+    relation is eager-persisted (it feeds its own output branch AND
+    the daily rollup; lazy persist + multi-reference recomputes
+    concurrently under AQE), so the plan scans events exactly once and
+    the daily/monthly aggregations run over |hours| and |days| rows.
+
+    Sums stay exact decimals through every rollup level (associative,
+    partition-order-proof) and only become rounded doubles at the
+    output — which is also why partial-aggregate reuse is legal here.
+
+    The DuckDB oracle computes each resolution INDEPENDENTLY from raw
+    events, so the hash match proves the hierarchical reuse correct.
+    """
+    from .dedup import _persist
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = _persist(
+        ev.groupBy(F.date_trunc("hour", "ts").alias("bucket")).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)")).alias("vdec"),
+        ),
+        eager=True,
+    )
+    daily = hourly.groupBy(
+        F.date_trunc("day", "bucket").alias("bucket")
+    ).agg(F.sum("n").alias("n"), F.sum("vdec").alias("vdec"))
+    monthly = daily.groupBy(
+        F.date_trunc("month", "bucket").alias("bucket")
+    ).agg(F.sum("n").alias("n"), F.sum("vdec").alias("vdec"))
+
+    def out(df: DataFrame, res: str) -> DataFrame:
+        return df.select(
+            F.lit(res).alias("resolution"),
+            "bucket",
+            "n",
+            F.round(F.col("vdec").cast("double"), 4).alias("value_sum"),
+        )
+
+    return (
+        out(hourly, "hour")
+        .unionByName(out(daily, "day"))
+        .unionByName(out(monthly, "month"))
+    )
+
+
+# independent per-resolution recomputation from raw events (DuckDB
+# date_trunc returns DATE for day/month — cast back to TIMESTAMP to
+# match Spark's always-TIMESTAMP date_trunc)
+ORACLE_EVENTS_ROLLUP_MULTIRES = """
+SELECT 'hour' AS resolution, date_trunc('hour', ts) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4) AS value_sum
+FROM events GROUP BY 2
+UNION ALL
+SELECT 'day', CAST(date_trunc('day', ts) AS TIMESTAMP),
+       CAST(COUNT(*) AS BIGINT),
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4)
+FROM events GROUP BY 2
+UNION ALL
+SELECT 'month', CAST(date_trunc('month', ts) AS TIMESTAMP),
+       CAST(COUNT(*) AS BIGINT),
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4)
+FROM events GROUP BY 2
+"""
+
+QUERIES["events_rollup_multires"] = q_events_rollup_multires
+ORACLES["events_rollup_multires"] = ORACLE_EVENTS_ROLLUP_MULTIRES

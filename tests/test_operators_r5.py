@@ -657,3 +657,32 @@ def test_quality_classifier_is_map_only_and_integer_exact(spark):
     assert len(rows) == 500
     for r in rows[:50]:
         assert r.keep == (r.score_milli > 0)
+
+
+def test_events_rollup_multires_reuses_partials(spark):
+    """The continuous-aggregate shape: raw events are scanned for the
+    HOURLY rollup only; daily and monthly aggregate the cached finer
+    partials (InMemoryTableScan), never the raw table again."""
+    from readability_py_spark.operators.dedup import release_caches
+    from readability_py_spark.operators.timeseries import (
+        q_events_rollup_multires,
+    )
+
+    df = q_events_rollup_multires(spark, SF_SMOKE)
+    df.write.format("noop").mode("overwrite").save()
+    # full AQE plan text (the _final_plan split truncates the union's
+    # later branches): the three output branches must all read the
+    # hourly cache — hourly projection, daily rollup, monthly rollup —
+    # so InMemoryTableScan appears >= 3 times and no branch rescans
+    # raw events
+    plan = df._jdf.queryExecution().executedPlan().toString().lower()
+    release_caches()
+    assert plan.count("inmemorytablescan") >= 3, plan
+    rows = q_events_rollup_multires(spark, SF_SMOKE).collect()
+    release_caches()
+    by_res = {}
+    for r in rows:
+        by_res.setdefault(r.resolution, []).append(r)
+    # conservation: every resolution accounts for all events
+    totals = {k: sum(r.n for r in v) for k, v in by_res.items()}
+    assert totals["hour"] == totals["day"] == totals["month"]
