@@ -129,3 +129,21 @@ def read_crawl_manifest_csv(spark: SparkSession, path: str) -> DataFrame:
         .option("columnNameOfCorruptRecord", "_corrupt_record")
         .csv(path)
     )
+
+
+def write_pages_orc(pages: DataFrame, path: str) -> None:
+    """Export canonical pages as ORC — the other columnar warehouse
+    format Spark writes natively (zlib by default; binary html column
+    travels as-is, no base64 detour needed unlike JSONL)."""
+    pages.write.mode("overwrite").orc(path)
+
+
+def read_pages_orc(spark: SparkSession, path: str) -> DataFrame:
+    """Read canonical pages from ORC. Same scan properties as the
+    parquet path — splittable stripes, column pruning, predicate
+    pushdown (min/max stripe stats) — so every operator runs on an
+    ORC-backed corpus unchanged; no schema option needed because ORC
+    files are self-describing (the explicit-schema discipline of the
+    JSONL/CSV edge readers guards against schemaless text formats,
+    not columnar ones)."""
+    return spark.read.orc(path)

@@ -99,3 +99,36 @@ def test_jsonl_cache_release_hook(spark, tmp_path):
 
 def _b64(s: bytes) -> str:
     return base64.b64encode(s).decode()
+
+
+def test_orc_pages_roundtrip_and_pushdown(spark, tmp_path):
+    """ORC round-trips the canonical pages schema byte-for-byte
+    (binary html included) and behaves like parquet at the scan:
+    filters reach the ORC relation as pushed filters."""
+    from readability_py_spark.plans.bench_extract import build_pages_df
+    from readability_py_spark.sources.pages_io import (
+        read_pages_orc,
+        write_pages_orc,
+    )
+
+    pages = build_pages_df(spark, 40).select(
+        "url", "warc_ts", "html", "text", "lang"
+    )
+    out = str(tmp_path / "pages_orc")
+    write_pages_orc(pages, out)
+    back = read_pages_orc(spark, out)
+    assert back.schema == pages.schema
+    key = lambda r: (r.url, r.warc_ts, bytes(r.html or b""))
+    a = sorted(pages.collect(), key=key)
+    b = sorted(back.collect(), key=key)
+    assert a == b
+    # predicate pushdown into the ORC scan
+    plan = (
+        back.filter(back.lang == "en")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [" in plan and "lang" in plan.split(
+        "PushedFilters:"
+    )[1].split("]")[0], plan
