@@ -89,42 +89,47 @@ def _cc_step(sym: DataFrame, labels: DataFrame, jump: bool = True) -> DataFrame:
     )
 
 
-def _cc_union_find(edges: DataFrame) -> DataFrame:
-    """Small-graph fast path: exact union-find (union-by-min root +
-    path halving) over the whole edge list in ONE task. `edges` is
-    persisted and already materialized by the caller's count(), so the
-    repartition(1) reads the tiny cached pair table — the expensive
-    candidate-generation stages upstream keep their full parallelism
-    (a coalesce(1) here would collapse them; same trap as the
-    single-split filter pushdown, see CLAUDE.md)."""
+def _union_find_batches(batches):
+    """The union-find kernel (union-by-min root + path halving) as a
+    module-level mapInPandas generator — importable without Spark, so
+    the property test can drive it on raw pandas batches against a
+    BFS reference (tests/test_property_r5.py)."""
     import pandas as pd
 
-    def uf(batches):
-        parent: dict[int, int] = {}
+    parent: dict[int, int] = {}
 
-        def find(x: int) -> int:
-            while parent.setdefault(x, x) != x:
-                parent[x] = parent[parent[x]]  # path halving
-                x = parent[x]
-            return x
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]  # path halving
+            x = parent[x]
+        return x
 
-        for pdf in batches:
-            for a, b in zip(pdf["a_id"], pdf["b_id"]):
-                ra, rb = find(int(a)), find(int(b))
-                if ra != rb:
-                    if rb < ra:
-                        ra, rb = rb, ra
-                    # union by MIN root: every root is the minimum of
-                    # all ids merged under it, so the final root IS the
-                    # component-minimum doc_id (the cluster_rep contract)
-                    parent[rb] = ra
-        verts = list(parent)
-        yield pd.DataFrame(
-            {"doc_id": verts, "cluster_rep": [find(v) for v in verts]}
-        )
+    for pdf in batches:
+        for a, b in zip(pdf["a_id"], pdf["b_id"]):
+            ra, rb = find(int(a)), find(int(b))
+            if ra != rb:
+                if rb < ra:
+                    ra, rb = rb, ra
+                # union by MIN root: every root is the minimum of
+                # all ids merged under it, so the final root IS the
+                # component-minimum doc_id (the cluster_rep contract)
+                parent[rb] = ra
+    verts = list(parent)
+    yield pd.DataFrame(
+        {"doc_id": verts, "cluster_rep": [find(v) for v in verts]}
+    )
 
+
+def _cc_union_find(edges: DataFrame) -> DataFrame:
+    """Small-graph fast path: exact union-find over the whole edge
+    list in ONE task. `edges` is persisted and already materialized by
+    the caller's count(), so the repartition(1) reads the tiny cached
+    pair table — the expensive candidate-generation stages upstream
+    keep their full parallelism (a coalesce(1) here would collapse
+    them; same trap as the single-split filter pushdown, see
+    CLAUDE.md)."""
     return edges.repartition(1).mapInPandas(
-        uf, "doc_id long, cluster_rep long"
+        _union_find_batches, "doc_id long, cluster_rep long"
     )
 
 
