@@ -79,23 +79,30 @@ def release_caches() -> None:
         _PERSISTED.pop().unpersist(blocking=False)
 
 
+def shingles_from_tokens(toks) -> F.Column:
+    """Distinct bigram word-shingle set from an already-split token
+    array — so a shared persisted (doc_id, toks) relation can feed the
+    MinHash shingle build AND the SimHash token hash without a second
+    scan + split (VERDICT r5 item 5)."""
+    return F.array_distinct(
+        F.when(
+            F.size(toks) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - 1),
+                lambda i: F.concat(
+                    F.element_at(toks, i), F.lit(" "), F.element_at(toks, i + 1)
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+    )
+
+
 def shingles_of(text_col) -> F.Column:
     """Distinct bigram word-shingle set of a text column — the shared
     shingle definition for every MinHash family (and the composed
     pipeline in operators/groups.py, which shingles url-dedup
     survivors rather than the raw table)."""
-    w = F.split(text_col, " ")
-    return F.array_distinct(
-        F.when(
-            F.size(w) >= 2,
-            F.transform(
-                F.sequence(F.lit(1), F.size(w) - 1),
-                lambda i: F.concat(
-                    F.element_at(w, i), F.lit(" "), F.element_at(w, i + 1)
-                ),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
-    )
+    return shingles_from_tokens(F.split(text_col, " "))
 
 
 def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -257,7 +264,7 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _duck_minhash_sig(
-    k: int = MINHASH_K, band_size: int = MINHASH_BAND_SIZE
+    k: int = MINHASH_K, band_size: int = MINHASH_BAND_SIZE, src: str = "d"
 ) -> str:
     n_bands = k // band_size
     band_exprs = []
@@ -266,7 +273,7 @@ def _duck_minhash_sig(
             f"list_min(list_transform(sh, s -> md5('{i}:' || s)))"
             for i in range(b * band_size, (b + 1) * band_size)
         )
-        band_exprs.append(f"SELECT doc_id, {b} AS band, {mins} AS band_sig FROM d WHERE len(sh) > 0")
+        band_exprs.append(f"SELECT doc_id, {b} AS band, {mins} AS band_sig FROM {src} WHERE len(sh) > 0")
     return "\nUNION ALL\n".join(band_exprs)
 
 
@@ -384,6 +391,29 @@ def q_minhash_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-channel pairs carry jaccard 1.0 (identical text ⇒ identical
     shingle sets ⇒ true Jaccard 1.0, so the two channels agree)."""
     d = _persist(_shingled(spark, sf_dir), eager=True)
+    sig = _band_signatures(
+        d, k=MINHASH_K_PROD, band_size=MINHASH_BAND_SIZE_PROD
+    )
+    return _capped_tail(
+        spark, sf_dir, d, sig, F.md5(F.encode(F.col("text"), "utf-8"))
+    )
+
+
+def minhash_lsh_capped_from(
+    spark: SparkSession, sf_dir: str, toks: DataFrame
+) -> DataFrame:
+    """q_minhash_lsh_capped's pipeline over a SHARED (doc_id, toks)
+    token relation (already persisted by the caller): the shingle
+    build starts from the cached token arrays instead of re-scanning +
+    re-splitting documents. Used by groups.q_dedup_groups, where the
+    SimHash branch reads the same token relation — one scan + split
+    feeds both pair families (VERDICT r5 item 5)."""
+    d = _persist(
+        toks.select(
+            "doc_id", shingles_from_tokens(F.col("toks")).alias("sh")
+        ),
+        eager=True,
+    )
     sig = _band_signatures(
         d, k=MINHASH_K_PROD, band_size=MINHASH_BAND_SIZE_PROD
     )
@@ -549,7 +579,12 @@ SELECT DISTINCT a_id, b_id, jaccard FROM (
 """
 
 
-def _simhash_sql(dialect: str, hint: str = "") -> str:
+def _simhash_sql(
+    dialect: str,
+    hint: str = "",
+    source_table: str = "documents",
+    tokens_expr: str | None = None,
+) -> str:
     """Generate the 32-bit SimHash query for either dialect.
 
     Signature = for each bit b: sign of Σ_tokens (±1 by bit b of
@@ -566,9 +601,13 @@ def _simhash_sql(dialect: str, hint: str = "") -> str:
     SUM(CASE) columns — one shuffled row per token occurrence.)
     """
     if dialect == "spark":
-        # one md5 per distinct token, materialized as an in-row array
+        # one md5 per distinct token, materialized as an in-row array;
+        # `tokens_expr` lets a caller substitute a pre-split cached
+        # token column (groups.q_dedup_groups' shared token relation)
+        # for the default in-place split
+        toks_src = tokens_expr or "split(text, ' ')"
         hs = (
-            "transform(array_distinct(split(text, ' ')), "
+            f"transform(array_distinct({toks_src}), "
             "tok -> CAST(conv(substr(md5(tok), 1, 8), 16, 10) AS BIGINT))"
         )
         bit_sums = ",\n         ".join(
@@ -581,7 +620,7 @@ def _simhash_sql(dialect: str, hint: str = "") -> str:
         # file at test SF), "" on a real multi-split input where the
         # old hardcoded /*+ REPARTITION(32) */ would have COALESCED a
         # many-split scan (VERDICT r4 "What's wrong" #1).
-        hashed = f"SELECT {hint}doc_id, {hs} AS hs FROM documents"
+        hashed = f"SELECT {hint}doc_id, {hs} AS hs FROM {source_table}"
     else:
         hs = (
             "list_transform(list_distinct(string_split(text, ' ')), "
@@ -757,6 +796,23 @@ def q_simhash_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_simhash_pairs_capped_sql("spark"))
 
 
+def simhash_pairs_capped_from(spark: SparkSession, toks_view: str) -> DataFrame:
+    """q_simhash_pairs_capped's pipeline over a SHARED registered token
+    view (doc_id, toks — persisted by the caller): the signature build
+    hashes the cached token arrays instead of re-scanning + re-splitting
+    documents. The `documents` temp view must also be registered (the
+    hot-bucket exact channel fingerprints raw text). Used by
+    groups.q_dedup_groups (VERDICT r5 item 5)."""
+    sig = _persist(
+        spark.sql(
+            _simhash_sql("spark", source_table=toks_view, tokens_expr="toks")
+        ),
+        eager=True,
+    )
+    sig.createOrReplaceTempView("simhash_sig_cached")
+    return spark.sql(_simhash_pairs_capped_sql("spark"))
+
+
 ORACLE_SIMHASH_PAIRS_CAPPED = _simhash_pairs_capped_sql("duckdb")
 
 
@@ -809,12 +865,16 @@ def q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents"), spark
     ).select("doc_id", "text")
     n_total = docs.agg(F.count("*").cast("double").alias("n_total"))
-    tf = (
+    # tf (the expensive explode + groupBy stage) feeds BOTH dfv and the
+    # join-back in w: eager-persist per the multi-reference rule
+    # (advisor r5 — lazily it recomputed once per subtree)
+    tf = _persist(
         docs.select(
             "doc_id", F.explode(_gram_array(F.col("text"), TFIDF_N)).alias("term")
         )
         .groupBy("doc_id", "term")
-        .agg(F.count("*").cast("double").alias("tf"))
+        .agg(F.count("*").cast("double").alias("tf")),
+        eager=True,
     )
     dfv = (
         tf.groupBy("term")

@@ -46,10 +46,10 @@ from .dedup import (
     _band_signatures,
     _duck_minhash_sig,
     _persist,
+    minhash_lsh_capped_from,
     minhash_lsh_dups_from,
-    q_minhash_lsh_capped,
-    q_simhash_pairs_capped,
     shingles_of,
+    simhash_pairs_capped_from,
 )
 from .pipeline import ORACLE_PIPELINE_GATE, gated_docs
 
@@ -191,9 +191,29 @@ def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     families (MinHash-LSH capped + SimHash capped — the two 100 TB
     candidate generators): (doc_id, cluster_rep) with cluster_rep the
     component-minimum doc_id. A row with doc_id == cluster_rep is the
-    kept representative; every other row is a drop."""
-    mh = q_minhash_lsh_capped(spark, sf_dir).select("a_id", "b_id")
-    sp = q_simhash_pairs_capped(spark, sf_dir).select("a_id", "b_id")
+    kept representative; every other row is a drop.
+
+    Both families feed off ONE eager-persisted (doc_id, toks) token
+    relation (VERDICT r5 item 5): the MinHash branch builds its bigram
+    shingles and the SimHash branch its distinct-token hashes from the
+    same cached split — one documents scan + one tokenize, where the
+    standalone queries each paid their own."""
+    from pyspark.sql import functions as F
+
+    from ..session import load_table, maybe_parallelize
+
+    docs = maybe_parallelize(load_table(spark, sf_dir, "documents"), spark)
+    # the capped pipelines' hot-bucket exact channels fingerprint raw
+    # text through the `documents` view / load_table
+    docs.createOrReplaceTempView("documents")
+    toks = _persist(
+        docs.select("doc_id", F.split("text", " ").alias("toks")), eager=True
+    )
+    toks.createOrReplaceTempView("dedup_toks_cached")
+    mh = minhash_lsh_capped_from(spark, sf_dir, toks).select("a_id", "b_id")
+    sp = simhash_pairs_capped_from(spark, "dedup_toks_cached").select(
+        "a_id", "b_id"
+    )
     return connected_components(mh.union(sp))
 
 

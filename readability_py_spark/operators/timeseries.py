@@ -129,12 +129,17 @@ def q_range_count_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``signup.ts <= error.ts < signup.ts + 4h``).
 
     Plan: both sides derive an epoch bucket of width == the window
-    length, so every interval covers at most 2 buckets
-    (``array_distinct`` collapses the boundary-aligned case) and every
+    length, so every interval covers at most 2 buckets and every
     probe row exactly 1 — each matching pair therefore meets exactly
     once and the pre-filter join is a plain **equi-join** on
     (user_id, bucket), then the exact range predicate + aggregation.
-    Windows with zero errors keep inner-join semantics (not emitted).
+    The interval's end bucket is the bucket of its last contained
+    second, ``floor((start + w - 1) / w)`` — NOT ``floor((start+w)/w)``
+    (which is always start's bucket + 1, so ``array_distinct`` never
+    collapsed anything and every window shuffled into 2 buckets;
+    advisor r5) — so a boundary-aligned window genuinely explodes into
+    ONE bucket. Windows with zero errors keep inner-join semantics
+    (not emitted).
     """
     ev = load_table(spark, sf_dir, "events")
     win_w = RANGE_WINDOW_SEC
@@ -153,7 +158,7 @@ def q_range_count_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.array(
                         F.floor(F.unix_timestamp("w_start") / win_w),
                         F.floor(
-                            (F.unix_timestamp("w_start") + win_w) / win_w
+                            (F.unix_timestamp("w_start") + win_w - 1) / win_w
                         ),
                     )
                 )

@@ -200,6 +200,11 @@ def main() -> None:
     if os.environ.get("SPARK_GRAFT_DEDUP_SEED32") == "1":
         hist = os.path.join(REPO, "scaling_history.jsonl")
         if os.path.exists(hist):
+            # advisor r5: pick the MIN-WALL certified match (not the
+            # newest), and stamp seed provenance into the emitted pair
+            # so BENCH/BASELINE readers can tell a seeded pair (two
+            # quiet windows) from a same-window pair.
+            best = None
             for line in open(hist):
                 try:
                     rec = json.loads(line)
@@ -212,10 +217,19 @@ def main() -> None:
                     and rec.get("input") == sf_dir
                     and rec.get("input_docs") == n_docs
                     and rec.get("wall_sec") is not None
+                    and (best is None or rec["wall_sec"] < best["wall_sec"])
                 ):
-                    r32 = {k: v for k, v in rec.items() if k not in ("event", "ts", "input")}
+                    best = rec
+            if best is not None:
+                r32 = {
+                    k: v
+                    for k, v in best.items()
+                    if k not in ("event", "ts", "input")
+                }
+                r32["seeded32"] = True
+                r32["seed_src_ts"] = best.get("ts")
         if r32:
-            print("seeded local32 from history: %.2fs (steal %.1f%%)"
+            print("seeded local32 from history (min-wall): %.2fs (steal %.1f%%)"
                   % (r32["wall_sec"], r32["steal_pct"]))
     while time.monotonic() < deadline and not (r32 and r8):
         if os.getloadavg()[0] > 2.0:
