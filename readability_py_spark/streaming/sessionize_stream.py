@@ -5,25 +5,42 @@ lag+cumsum window in ``relational.q_sessionize_events``).
 
 Semantics are the batch twin's exactly: a session closes when the gap
 to the next event is STRICTLY greater than ``gap_sec``; a session is
-(user_id, first ts, last ts, n events). The streaming form maintains
-one open session per user in state and emits a session when
+(user_id, first ts, last ts, n events).
 
-- a new event for the user arrives more than ``gap_sec`` after the
-  open session's last event (gap close — same predicate as batch), or
-- the event-time watermark passes ``last_ts + gap_sec`` (timeout
-  close: no on-time event can extend the session anymore, so it is
-  final — this is what makes the operator *streaming*-correct rather
-  than only drain-correct).
+Finalization is WATERMARK-DRIVEN (advisor r5, medium): a session is
+emitted only once the event-time watermark strictly passes
+``last_ts + gap_sec`` — before that, an on-time event arriving in a
+later micro-batch could still merge into it (extend it at the right
+edge, or bridge it with a neighbouring session). The round-5 version
+emitted a session as soon as a later event closed its gap inside one
+batch, which diverged from the batch twin whenever the watermark delay
+exceeded the gap (an on-time out-of-order event could arrive for a
+session already emitted, and was then wrongly merged backward into the
+newer open session). Now state buffers ALL unfinalized sessions per
+user and every micro-batch (or event-time timeout) re-runs the
+textbook session-window algorithm:
 
-State per user is three longs (epoch-µs start/last + count) — O(keys)
-bounded by the timeout eviction, never O(events). At scale this is
-the same single hash exchange on user_id as the batch window, plus
-the state store; skew = one hot user's events in one task, identical
-to the batch sessionizer's skew shape.
+- append each new event as a unit session, sort, and merge neighbours
+  whose gap is <= gap_sec (one sweep — order-independent, so
+  micro-batch boundaries and intra-batch ordering cannot change the
+  result);
+- emit exactly the sessions with ``last + gap < watermark`` (no future
+  on-time event can reach them: every such event has ts >= watermark);
+- keep the rest in state and set the event-time timeout to the
+  earliest instant the oldest kept session can become final.
 
-Equivalence with the batch sessionizer over any fully-drained input
-is pinned by tests/test_streaming_and_media.py (stream output ==
-batch ``sessionize_events`` rolled up to sessions).
+State per user is three parallel long arrays (epoch-µs starts/lasts +
+counts), one entry per unfinalized session — bounded by
+``watermark_delay / gap`` entries, never O(events). At scale this is
+the same single hash exchange on user_id as the batch window, plus the
+state store; skew = one hot user's events in one task, identical to
+the batch sessionizer's skew shape.
+
+Equivalence with the batch sessionizer over any fully-drained input —
+including on-time out-of-order events that cross micro-batch
+boundaries — is pinned by tests/test_streaming_and_media.py (the
+original in-order drops + checkpoint-restart test, plus the
+cross-batch backward-merge scenario the r5 operator got wrong).
 """
 
 from __future__ import annotations
@@ -54,13 +71,16 @@ SESSION_SCHEMA = T.StructType(
     ]
 )
 
-# (session_start_us, last_ts_us, n_events) — epoch-µs longs rather
-# than timestamps so the state row is timezone-proof and minimal.
+# Parallel arrays of UNFINALIZED sessions (start_us, last_us, n) —
+# epoch-µs longs rather than timestamps so the state row is
+# timezone-proof; arrays rather than one open session because with
+# watermark delay > gap several sessions per user can be simultaneously
+# un-final (at most ceil(delay/gap) + 1 of them).
 STATE_SCHEMA = T.StructType(
     [
-        T.StructField("start_us", T.LongType()),
-        T.StructField("last_us", T.LongType()),
-        T.StructField("n_events", T.LongType()),
+        T.StructField("starts_us", T.ArrayType(T.LongType())),
+        T.StructField("lasts_us", T.ArrayType(T.LongType())),
+        T.StructField("ns", T.ArrayType(T.LongType())),
     ]
 )
 
@@ -75,6 +95,22 @@ def events_stream(spark: SparkSession, input_dir: str) -> DataFrame:
     )
 
 
+def _merge_sessions(
+    sessions: list[tuple[int, int, int]], gap_us: int
+) -> list[tuple[int, int, int]]:
+    """One sorted sweep merging neighbours with gap <= gap_us (strictly
+    greater splits, like the batch twin). Pure + order-independent:
+    importable without Spark for property tests."""
+    merged: list[tuple[int, int, int]] = []
+    for s in sorted(sessions):
+        if merged and s[0] - merged[-1][1] <= gap_us:
+            p = merged[-1]
+            merged[-1] = (p[0], max(p[1], s[1]), p[2] + s[2])
+        else:
+            merged.append(s)
+    return merged
+
+
 def _session_fn(gap_sec: int):
     gap_us = gap_sec * 1_000_000
 
@@ -84,57 +120,55 @@ def _session_fn(gap_sec: int):
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
         user_id = key[0]
-        closed: list[tuple[int, int, int, int]] = []  # (uid, start, last, n)
-
-        if state.hasTimedOut:
-            start_us, last_us, n = state.get
-            closed.append((user_id, start_us, last_us, n))
-            state.remove()
+        if state.exists:
+            starts, lasts, ns = state.get
+            sessions = list(zip(starts, lasts, ns))
         else:
-            chunks = list(pdfs)
-            batch = (
-                pd.concat(chunks, ignore_index=True)
-                if chunks
-                else pd.DataFrame(columns=["ts", "event_id"])
-            )
-            # within a micro-batch events arrive unordered; the batch
-            # twin's window orders by (ts, event_id) — match it
-            batch = batch.sort_values(["ts", "event_id"])
-            if state.exists:
-                start_us, last_us, n = state.get
-            else:
-                start_us = last_us = -1
-                n = 0
-            for ts in batch["ts"]:
-                ts_us = ts.value // 1000  # pandas ns → µs
-                if start_us < 0:
-                    start_us, last_us, n = ts_us, ts_us, 1
-                elif ts_us - last_us > gap_us:  # STRICT, like batch
-                    closed.append((user_id, start_us, last_us, n))
-                    start_us, last_us, n = ts_us, ts_us, 1
-                else:
-                    # a cross-batch late (but on-time) event may
-                    # predate the open session — session-window merge
-                    # extends backward
-                    start_us = min(start_us, ts_us)
-                    last_us = max(last_us, ts_us)
-                    n += 1
-            if start_us >= 0:
-                state.update((start_us, last_us, n))
-                # final when the watermark passes last + gap: no
-                # on-time event can extend this session anymore
-                state.setTimeoutTimestamp(last_us // 1000 + gap_sec * 1000)
+            sessions = []
 
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                for ts in pdf["ts"]:
+                    ts_us = ts.value // 1000  # pandas ns → µs
+                    sessions.append((ts_us, ts_us, 1))
+            sessions = _merge_sessions(sessions, gap_us)
+
+        # a session is FINAL iff the watermark strictly passed
+        # last + gap: every future on-time event has ts >= watermark,
+        # and an event at ts can extend/bridge a session iff
+        # ts - last <= gap (STRICT close ⇒ equality still merges)
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        closed = [s for s in sessions if s[1] + gap_us < wm_us]
+        kept = [s for s in sessions if s[1] + gap_us >= wm_us]
+
+        if kept:
+            state.update(
+                (
+                    [s[0] for s in kept],
+                    [s[1] for s in kept],
+                    [s[2] for s in kept],
+                )
+            )
+            # earliest instant the oldest kept session can become
+            # final: watermark must exceed last + gap, so the first
+            # whole-ms tick after it (always > current watermark since
+            # the session was kept)
+            t_ms = min(s[1] for s in kept) // 1000 + gap_sec * 1000 + 1
+            state.setTimeoutTimestamp(t_ms)
+        else:
+            state.remove()
+
+        closed.sort()
         yield pd.DataFrame(
             {
-                "user_id": pd.Series([c[0] for c in closed], dtype="int64"),
+                "user_id": pd.Series([user_id] * len(closed), dtype="int64"),
                 "session_start": pd.to_datetime(
-                    [c[1] for c in closed], unit="us"
+                    [c[0] for c in closed], unit="us"
                 ),
                 "session_end": pd.to_datetime(
-                    [c[2] for c in closed], unit="us"
+                    [c[1] for c in closed], unit="us"
                 ),
-                "n_events": pd.Series([c[3] for c in closed], dtype="int64"),
+                "n_events": pd.Series([c[2] for c in closed], dtype="int64"),
             }
         )
 
@@ -144,7 +178,10 @@ def _session_fn(gap_sec: int):
 def streaming_sessionize(
     events: DataFrame, gap_sec: int = 1800, watermark: str = "1 hour"
 ) -> DataFrame:
-    """Session stream: one output row per CLOSED session (append mode).
+    """Session stream: one output row per FINALIZED session (append
+    mode) — finalized means the event-time watermark passed
+    last + gap, so the emission is safe at ANY watermark-delay / gap
+    ratio (delay > gap just buffers more sessions per user).
 
     Plan: one hash exchange on user_id into the stateful operator —
     the streaming analogue of the batch window's single shuffle."""

@@ -85,12 +85,14 @@ GAP_SEC = 100
 
 
 class _FakeState:
-    """Minimal GroupState stand-in for driving _session_fn directly."""
+    """Minimal GroupState stand-in for driving _session_fn directly
+    (tracks the current watermark the way Spark exposes it)."""
 
     def __init__(self):
         self._v = None
         self.hasTimedOut = False
         self.timeout_ms = None
+        self.wm_ms = 0
 
     @property
     def exists(self):
@@ -108,6 +110,9 @@ class _FakeState:
 
     def setTimeoutTimestamp(self, ms):
         self.timeout_ms = ms
+
+    def getCurrentWatermarkMs(self):
+        return self.wm_ms
 
 
 def _batch_sessions(ts_us_sorted, gap_us):
@@ -182,9 +187,11 @@ def test_streaming_sessionize_is_batch_split_invariant(ts_list, cuts):
                     pdf["n_events"],
                 )
             )
-    # watermark passes every timeout → the open session flushes
+    # watermark passes every timeout → every buffered session flushes
+    # (r6 semantics: emission is watermark-driven, never gap-driven)
     if state.exists:
         state.hasTimedOut = True
+        state.wm_ms = 10**15
         for pdf in fn((7,), iter([]), state):
             emitted.extend(
                 zip(
@@ -195,3 +202,131 @@ def test_streaming_sessionize_is_batch_split_invariant(ts_list, cuts):
             )
     expect = _batch_sessions(ts_us, GAP_SEC * 1_000_000)
     assert [(int(a), int(b), int(n)) for a, b, n in emitted] == expect
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    ts_list=st.lists(
+        st.integers(min_value=0, max_value=3000), min_size=1, max_size=40
+    ),
+    perm_seed=st.integers(min_value=0, max_value=2**31),
+    cuts=st.lists(
+        st.integers(min_value=1, max_value=39), max_size=4, unique=True
+    ),
+)
+def test_streaming_sessionize_is_arrival_order_invariant(
+    ts_list, perm_seed, cuts
+):
+    """r6: ARBITRARY arrival order across micro-batches (not just
+    in-order splits) still yields exactly the reference batch sessions,
+    with the watermark advancing Spark-style (max event time seen so
+    far minus a delay larger than the whole time span, so no event is
+    ever late-dropped and every ordering is an on-time reordering)."""
+    import random
+
+    from readability_py_spark.streaming.sessionize_stream import _session_fn
+
+    ts_us = [t * 1_000_000 + 7 for t in ts_list]
+    shuffled = ts_us[:]
+    random.Random(perm_seed).shuffle(shuffled)
+    bounds = sorted({c for c in cuts if c < len(shuffled)})
+    splits, prev = [], 0
+    for c in bounds + [len(shuffled)]:
+        if c > prev:
+            splits.append(shuffled[prev:c])
+            prev = c
+
+    delay_ms = 10_000_000  # > max span (3000 s) → nothing is late
+    fn = _session_fn(GAP_SEC)
+    state = _FakeState()
+    emitted = []
+    max_seen_us = 0
+    for chunk in splits:
+        out = list(
+            fn(
+                (7,),
+                iter([pd.DataFrame({"ts": pd.to_datetime(chunk, unit="us")})]),
+                state,
+            )
+        )
+        for pdf in out:
+            emitted.extend(
+                zip(
+                    pdf["session_start"].astype("int64") // 1000,
+                    pdf["session_end"].astype("int64") // 1000,
+                    pdf["n_events"],
+                )
+            )
+        # Spark updates the watermark at the END of each micro-batch
+        max_seen_us = max(max_seen_us, max(chunk))
+        state.wm_ms = max(0, max_seen_us // 1000 - delay_ms)
+    if state.exists:
+        state.hasTimedOut = True
+        state.wm_ms = 10**15
+        for pdf in fn((7,), iter([]), state):
+            emitted.extend(
+                zip(
+                    pdf["session_start"].astype("int64") // 1000,
+                    pdf["session_end"].astype("int64") // 1000,
+                    pdf["n_events"],
+                )
+            )
+    expect = _batch_sessions(sorted(ts_us), GAP_SEC * 1_000_000)
+    assert sorted((int(a), int(b), int(n)) for a, b, n in emitted) == expect
+
+
+def test_streaming_sessionize_cross_batch_backward_merge():
+    """The advisor-r5 divergence scenario, pinned: a session whose gap
+    was closed by a later event inside batch 1 must NOT be emitted
+    before the watermark passes it, because an on-time out-of-order
+    event in batch 2 can still merge into it. Events (minutes): user
+    sees 0 and 60 in batch 1 (gap 30 ⇒ two sessions), then 20 arrives
+    in batch 2 while the watermark is still at 0 (delay 60) — 20 must
+    merge BACKWARD into [0] giving sessions [0,20] and [60]."""
+    from readability_py_spark.streaming.sessionize_stream import _session_fn
+
+    minute_us = 60 * 1_000_000
+    fn = _session_fn(1800)  # 30 min gap
+    state = _FakeState()
+
+    def drive(chunk_min, wm_after_min):
+        chunk = [m * minute_us for m in chunk_min]
+        out = list(
+            fn(
+                (1,),
+                iter([pd.DataFrame({"ts": pd.to_datetime(chunk, unit="us")})]),
+                state,
+            )
+        )
+        state.wm_ms = wm_after_min * 60 * 1000
+        rows = []
+        for pdf in out:
+            rows.extend(
+                zip(
+                    pdf["session_start"].astype("int64") // 60_000_000_000,
+                    pdf["session_end"].astype("int64") // 60_000_000_000,
+                    pdf["n_events"],
+                )
+            )
+        return rows
+
+    # batch 1: events at minute 0 and 60; watermark after = 60-60 = 0
+    assert drive([0, 60], 0) == []  # r5 code emitted (0,0,1) here — wrong
+    # batch 2: on-time out-of-order event at minute 20 (wm=0 ≤ 20)
+    assert drive([20], 60 * 24) == []
+    # timeout with the watermark far ahead: both sessions final
+    state.hasTimedOut = True
+    state.wm_ms = 10**15
+    got = []
+    for pdf in fn((1,), iter([]), state):
+        got.extend(
+            zip(
+                pdf["session_start"].astype("int64") // 60_000_000_000,
+                pdf["session_end"].astype("int64") // 60_000_000_000,
+                pdf["n_events"],
+            )
+        )
+    assert [(int(a), int(b), int(n)) for a, b, n in got] == [
+        (0, 20, 2),
+        (60, 60, 1),
+    ]
