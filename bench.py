@@ -34,6 +34,7 @@ HEADLINE = [
     "string_stats",
     "candidate_scores",
     "dedup_exact",
+    "dedup_incremental",
     "minhash_signatures_fast",
     "minhash_lsh_dups",
     "minhash_lsh_capped",

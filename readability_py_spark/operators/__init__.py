@@ -51,6 +51,49 @@ DRIVER_QUERY_BUDGET = 50
 #                         (same signature build, band key, and hamming
 #                         expression; the capped query adds only the
 #                         hot-bucket guard on top)
+#
+# Round-6 rotation (VERDICT r5 "Next round" #1): ten stable entries
+# retire so the never-driver-certified LOCAL_ONLY surface gets the
+# hard CORRECTNESS signal. Per-entry policy:
+#   minhash_lsh_capped  — strict sub-plan of surviving dedup_groups
+#                         (its pair output is dedup_groups' mh edge
+#                         input; the dedup_groups oracle embeds
+#                         ORACLE_MINHASH_LSH_CAPPED verbatim)
+#   simhash_pairs_capped— strict sub-plan of surviving dedup_groups
+#                         (same: the sp edge input / embedded oracle)
+#   minhash_lsh_dups    — its full signature→band-join→Jaccard-verify
+#                         pipeline (oracle width k=12) runs inside
+#                         surviving pipeline_dedup_groups via
+#                         minhash_lsh_dups_from — the identical code
+#                         path over the gated survivors
+#   minhash_signatures_fast — rows-only row (no DuckDB xxhash64), so
+#                         its driver slot carried no hash signal;
+#                         sibling of retired minhash_signatures and a
+#                         strict sub-plan of minhash_lsh_capped_fast,
+#                         whose pair-set equality vs the md5 family is
+#                         pytest-pinned
+#   events_daily        — strict semantic subset of incoming
+#                         events_rollup_multires (its 'day' resolution
+#                         slice over the same events table)
+#   cube_orders         — grouping-sets family stays driver-covered by
+#                         rollup_source_lang (CUBE = ROLLUP with the
+#                         same expansion machinery); 4 green rounds
+#   events_pivot        — pivot = groupBy+first over literal columns;
+#                         family (keyed agg over events) covered by
+#                         salted_lang_agg + events_rollup_multires;
+#                         4 green rounds
+#   gopher_lines        — quality-heuristic family stays covered by
+#                         quality_gopher (scalar rules) +
+#                         repetition_stats (the in-row fold face);
+#                         2 green rounds
+#   ann_lsh_topk        — ANN family stays covered by ann_ivf_topk +
+#                         embedding_near_dups (both LSH-bucket
+#                         equi-joins) + knn_brute_topk (the recall
+#                         baseline); 3 green rounds
+#   explode_words       — UDTF face covered by surviving vocab_topk
+#                         (same split+explode over documents feeding
+#                         an agg) and extract_footnotes (the UDTF
+#                         flagship); 5 green rounds
 RETIRED = {
     "media_decode_stub",
     "minhash_signatures",
@@ -61,39 +104,38 @@ RETIRED = {
     "media_meta",
     "ngram_jaccard_dups",
     "simhash_dup_pairs",
+    "minhash_lsh_capped",
+    "simhash_pairs_capped",
+    "minhash_lsh_dups",
+    "minhash_signatures_fast",
+    "events_daily",
+    "cube_orders",
+    "events_pivot",
+    "gopher_lines",
+    "ann_lsh_topk",
+    "explode_words",
 }
 
 # Beyond-budget operators: full queries()+oracle implementations that
 # never enter the driver dict (the 50 slots hold the most important
 # surface) but are verified by the same local harness and the
 # driver-rehearsal tool via include_retired=True.
+#
+# Round-6 rotation: the nine r5 LOCAL_ONLY oracle-paired queries
+# (pack_sequences, sample_stratified, pii_scrub, events_asof_join,
+# range_count_join, winnow_dup_candidates, quality_classifier,
+# events_rollup_multires, kmeans_refine) entered the driver dict for
+# their first hard CORRECTNESS certification, alongside the new
+# dedup_incremental. What stays LOCAL_ONLY and why:
 LOCAL_ONLY = {
+    # strict sub-plan of driver-entry winnow_dup_candidates (its
+    # per-doc fingerprint stage)
     "winnow_fingerprint",
-    "kmeans_refine",
     # production-hash (xxhash64) capped LSH dedup: no DuckDB twin;
-    # pair-set equality vs the driver-green md5 capped pipeline is
+    # pair-set equality vs the driver-certified md5 capped pipeline is
     # pytest-pinned, and it is the query the dedup scaling pair
     # measures (tools/dedup_scaling.py)
     "minhash_lsh_capped_fast",
-    # round-5 corpus-preparation family (operators/packing.py): the
-    # post-filter/dedup steps of a pretraining ingest — packing,
-    # deterministic sampling, PII redaction
-    "pack_sequences",
-    "sample_stratified",
-    "pii_scrub",
-    # round-5 time-series join family (operators/timeseries.py):
-    # as-of join (union+window rewrite, zero joins in the plan) and
-    # bucketed range join (interval containment as an equi-join) —
-    # DuckDB's native ASOF / inequality joins are the oracles
-    "events_asof_join",
-    "range_count_join",
-    # cross-doc substring-duplication candidates via shared winnowing
-    # fingerprints (the winnow_fingerprint consumer)
-    "winnow_dup_candidates",
-    # hashed-feature linear quality model (in-row integer dot product)
-    "quality_classifier",
-    # hypertable-style multi-resolution continuous aggregate
-    "events_rollup_multires",
 }
 
 
@@ -101,6 +143,7 @@ def merged_queries(include_retired: bool = False):
     from . import (
         dedup,
         groups,
+        incremental,
         multimodal,
         packing,
         pipeline,
@@ -123,6 +166,7 @@ def merged_queries(include_retired: bool = False):
     for mod in (
         relational,
         dedup,
+        incremental,
         similarity,
         textstats,
         multimodal,

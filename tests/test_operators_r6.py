@@ -80,6 +80,115 @@ def test_media_decode_single_split_still_parallelizes(spark):
 # ---------------------------------------------------------------------------
 
 
+def test_dedup_incremental_from_stored_catalog_index(spark, tmp_path):
+    """The real incremental shape: the corpus index (fingerprints, band
+    signatures, shingles) is PERSISTED via the snapshot catalog by a
+    prior ingest, and the incremental job consumes the stored tables —
+    the old side is file scans + keyed equi-joins, never re-shingled.
+
+    Asserts (a) the stored-index run matches the self-contained driver
+    query exactly, and (b) no scan in the job reads OLD text — shingling
+    needs text, the function never receives the old documents relation,
+    and every warehouse (stored-index) scan's readSchema carries only
+    its index columns — so re-shingling the corpus is impossible by
+    construction, and the plan proves it."""
+    from readability_py_spark.operators.incremental import (
+        NEW_MOD,
+        build_corpus_index,
+        dedup_incremental_from,
+        q_dedup_incremental,
+    )
+    from readability_py_spark.sources.catalog import LocalTableCatalog
+    from readability_py_spark.session import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    old_docs = docs.filter(F.col("doc_id") % NEW_MOD != 0).select(
+        "doc_id", "text"
+    )
+    new_docs = docs.filter(F.col("doc_id") % NEW_MOD == 0).select(
+        "doc_id", "text"
+    )
+
+    # ingest-time job: persist the index next to the data
+    cat = LocalTableCatalog(str(tmp_path / "warehouse"))
+    fps, sigs, sh = build_corpus_index(old_docs)
+    cat.append(fps, "corpus_fps")
+    cat.append(sigs, "corpus_sigs")
+    cat.append(sh, "corpus_shingles")
+
+    # incremental job: stored index only (no old text anywhere)
+    out = dedup_incremental_from(
+        new_docs,
+        cat.read(spark, "corpus_fps"),
+        cat.read(spark, "corpus_sigs"),
+        cat.read(spark, "corpus_shingles"),
+    )
+    got = sorted(map(tuple, out.collect()))
+    expect = sorted(map(tuple, q_dedup_incremental(spark, SF_SMOKE).collect()))
+    assert got == expect
+    # the synthetic corpus has no exact text dup straddling the split
+    # (dedup_exact shows every fingerprint unique), so the real-corpus
+    # path exercises the near + unique channels; the exact channel and
+    # priority are pinned below on a constructed corpus
+    assert any(v == "near_dup" for _, v, _, _ in got)
+    assert any(v == "unique" for _, v, _, _ in got)
+
+    # presence assertions run on the PRE-adaptive physical plan: AQE's
+    # empty-relation propagation prunes whole channels at runtime when
+    # a stage comes back empty (the exact channel here — this corpus
+    # has no exact dup), which would hide the scans being asserted on.
+    # Classify scans by their (never-truncated) output column list:
+    # re-shingling the old corpus would need a text scan WITHOUT the
+    # new-snapshot filter, and the stored index must enter as scans.
+    plan = out._jdf.queryExecution().sparkPlan().toString().lower()
+    scan_cols, scan_lines = [], []
+    for line in plan.splitlines():
+        low = line.strip()
+        if "filescan parquet [" in low:
+            cols = low.split("filescan parquet [", 1)[1].split("]", 1)[0]
+            scan_cols.append(cols)
+            scan_lines.append(low)
+    for cols, low in zip(scan_cols, scan_lines):
+        if "text#" in cols:  # a scan reading document text…
+            assert "% 5) = 0" in low, low  # …is always the NEW snapshot
+    joined = " ".join(scan_cols)
+    assert "fp#" in joined, plan  # stored fingerprints scanned
+    assert "band_sig#" in joined, plan  # stored signatures scanned
+    assert any(
+        "sh#" in c and "text#" not in c for c in scan_cols
+    ), plan  # stored shingles scanned (never rebuilt from text)
+
+
+def test_dedup_incremental_channels_and_priority(spark):
+    """Channel semantics on a constructed corpus: byte-identical text →
+    exact_dup (even though it would also LSH-match); identical shingle
+    SET but different text → near_dup with jaccard 1.0 (deterministic:
+    identical shingles ⇒ identical signatures ⇒ every band matches);
+    no overlap → unique with match_id -1."""
+    from readability_py_spark.operators.incremental import (
+        build_corpus_index,
+        dedup_incremental_from,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "a b c d"), (2, "p q p q p"), (3, "z z1 z2")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(10, "a b c d"), (20, "p q p q"), (30, "m n o")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.verdict, r.match_id, r.jaccard)
+        for r in dedup_incremental_from(new, *build_corpus_index(old)).collect()
+    }
+    assert got == {
+        10: ("exact_dup", 1, 1.0),
+        20: ("near_dup", 2, 1.0),
+        30: ("unique", -1, 0.0),
+    }
+
+
 def test_range_join_end_bucket_collapses_aligned_windows(spark):
     """floor((start + w - 1) / w) is the bucket of the window's last
     contained second, so a bucket-aligned window must produce exactly

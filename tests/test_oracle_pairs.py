@@ -59,6 +59,9 @@ def test_driver_query_budget():
     assert names[1] == "extract_footnotes"
     assert not (RETIRED & set(q))
     # retired entries must still exist and stay locally oracle-verified
+    # (minhash_signatures_fast was a rows-only driver entry — no DuckDB
+    # xxhash64 — so its local verification is the pytest equivalence
+    # pin vs the md5 family, not an oracle pair)
     qa, oa = merged_queries(include_retired=True)
     assert RETIRED <= set(qa)
-    assert RETIRED <= set(oa)
+    assert RETIRED - {"minhash_signatures_fast"} <= set(oa)
