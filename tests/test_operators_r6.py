@@ -5,7 +5,6 @@ dedup against a stored corpus index."""
 
 from __future__ import annotations
 
-import pytest
 from pyspark.sql import functions as F
 
 from .conftest import SF_SMOKE

@@ -66,7 +66,17 @@ def _steal_pct(before, after) -> float:
 
 def build_corpus(sf_dir: str) -> tuple[str, int]:
     """Replicate sf0.1 events K times with user_id offsets;
-    deterministic, idempotent (skips if present)."""
+    deterministic, idempotent (skips if present).
+
+    Two-stage for K > 256: the base table is a SINGLE parquet split, so
+    a one-shot crossJoin(range(K)) materializes the whole corpus in ONE
+    task before the repartition — at K=1024 (102.4M rows) that task
+    killed the JVM. Stage 1 builds the 256× tier (64-file parquet);
+    stage 2 expands ×(K/256) FROM the 64-split tier with a second
+    offset (the broadcast 4-row side multiplies rows in place), then
+    repartitions to 64 output files so the measured scan stays ≥2×
+    over-decomposed at local[32] (an 8-file layout gave only ~16
+    row-group splits)."""
     from pyspark.sql import functions as F
 
     from readability_py_spark.session import build_session, load_table
@@ -75,11 +85,14 @@ def build_corpus(sf_dir: str) -> tuple[str, int]:
         app_name="asof-scale-gen", master="local[8]", shuffle_partitions="8"
     )
     base = load_table(spark, sf_dir, "events")
-    n_rows = base.count() * K_REPLICAS
-    out = corpus_dir(n_rows)
-    path = os.path.join(out, "events.parquet")
-    if not os.path.exists(path):
-        reps = spark.range(K_REPLICAS).select(F.col("id").alias("rep"))
+    base_rows = base.count()
+
+    def tier_path(k: int) -> str:
+        return os.path.join(corpus_dir(base_rows * k), "events.parquet")
+
+    k1 = min(K_REPLICAS, 256)
+    if not os.path.exists(tier_path(k1)):
+        reps = spark.range(k1).select(F.col("id").alias("rep"))
         scaled = base.crossJoin(reps).select(
             (F.col("event_id") + F.col("rep") * 1_000_000_000).alias(
                 "event_id"
@@ -89,9 +102,30 @@ def build_corpus(sf_dir: str) -> tuple[str, int]:
             "event_type",
             "value",
         )
-        scaled.repartition(64).write.mode("overwrite").parquet(path)
+        scaled.repartition(64).write.mode("overwrite").parquet(tier_path(k1))
+    if K_REPLICAS > k1:
+        assert K_REPLICAS % k1 == 0, "K_REPLICAS must be a multiple of 256"
+        k2 = K_REPLICAS // k1
+        if not os.path.exists(tier_path(K_REPLICAS)):
+            tier1 = spark.read.parquet(tier_path(k1))
+            reps2 = spark.range(k2).select(F.col("id").alias("rep2"))
+            expanded = tier1.crossJoin(F.broadcast(reps2)).select(
+                (
+                    F.col("event_id") + F.col("rep2") * (k1 * 1_000_000_000)
+                ).alias("event_id"),
+                "ts",
+                (
+                    F.col("user_id") + F.col("rep2") * (k1 * 10_000_000)
+                ).alias("user_id"),
+                "event_type",
+                "value",
+            )
+            expanded.repartition(64).write.mode("overwrite").parquet(
+                tier_path(K_REPLICAS)
+            )
+    n_rows = base_rows * K_REPLICAS
     spark.stop()
-    return out, n_rows
+    return corpus_dir(n_rows), n_rows
 
 
 def run_level(cores: int, sf_dir: str, n_rows: int) -> None:

@@ -67,8 +67,19 @@ def main() -> None:
         100
     ).write.format("noop").mode("overwrite").save()
 
+    warmup = os.environ.get("SPARK_GRAFT_QT_WARMUP", "1") == "1"
     for name in names:
         fn = q[name]
+        if warmup:
+            # one un-timed rep of the query itself: sub-second
+            # expression-heavy queries are dominated by codegen + JIT
+            # on their first execution in a fresh session, which the
+            # bench harness (where every query runs after dozens of
+            # others) never pays — without this, clean_min measures
+            # session coldness, not the plan (observed: doc_fingerprint
+            # 0.39s cold-session vs 0.26s in-bench)
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            release_caches()
         reps: list[tuple[float, float]] = []
         for _ in range(n_reps):
             before = cpu_stat()
