@@ -136,6 +136,16 @@ LOCAL_ONLY = {
     # pytest-pinned, and it is the query the dedup scaling pair
     # measures (tools/dedup_scaling.py)
     "minhash_lsh_capped_fast",
+    # r6 additions past the 50-slot budget (both locally verified):
+    # crawl-delta between two snapshots — oracle-paired (DuckDB FULL
+    # OUTER JOIN twin), family-adjacent to driver-entry
+    # dedup_incremental (same snapshot synthesis pattern)
+    "snapshot_diff",
+    # broadcast-Bloom decontamination front: xxhash64 bitmap has no
+    # DuckDB twin; pytest pins the Bloom contract (superset of the
+    # driver-certified exact decontaminate, zero false negatives,
+    # bounded FP rate)
+    "decontaminate_bloom",
 }
 
 

@@ -254,10 +254,90 @@ LEFT JOIN near nr ON n.doc_id = nr.doc_id
 """
 
 
+# snapshot_diff's deterministic two-snapshot synthesis: snapshot A =
+# doc_id % 3 != 0, snapshot B = doc_id % 3 != 1 (so %3==0 is "added",
+# %3==1 "removed", %3==2 present in both), and B's text gains a
+# revision marker when doc_id % SNAP_REV_MOD == 0 (so some shared docs
+# are "changed", the rest "unchanged")
+SNAP_REV_MOD = 7
+
+
+def snapshot_diff_from(old_snap: DataFrame, new_snap: DataFrame) -> DataFrame:
+    """Crawl-delta between two snapshots of (doc_id, text): per
+    document key, ``added`` / ``removed`` / ``changed`` / ``unchanged``
+    plus both content fingerprints — the recurring freshness job of a
+    continuously re-crawled corpus (what decides which documents
+    re-enter the extraction/dedup pipeline).
+
+    Scale shape: each side reduces to a map-only (key, md5) projection
+    BEFORE the join, so document text never moves; the diff is one
+    full-outer sort-merge equi-join on the key (two key shuffles, or
+    ZERO when both snapshots are stored bucketed by doc key — the
+    catalog layout, same argument as the bucketed extraction path).
+    Output is O(|A| + |B|) with no post-join aggregation."""
+    a = old_snap.select(
+        "doc_id", F.md5(F.encode(F.col("text"), "utf-8")).alias("old_fp")
+    )
+    b = new_snap.select(
+        "doc_id", F.md5(F.encode(F.col("text"), "utf-8")).alias("new_fp")
+    )
+    return a.join(b, "doc_id", "full").select(
+        "doc_id",
+        F.when(F.col("old_fp").isNull(), F.lit("added"))
+        .when(F.col("new_fp").isNull(), F.lit("removed"))
+        .when(F.col("old_fp") == F.col("new_fp"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+        .alias("status"),
+        F.coalesce("old_fp", F.lit("")).alias("old_fp"),
+        F.coalesce("new_fp", F.lit("")).alias("new_fp"),
+    )
+
+
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver entry: synthesize the two snapshots deterministically
+    from the documents table (header comment above SNAP_REV_MOD),
+    then diff them."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    old_snap = docs.filter(F.col("doc_id") % 3 != 0)
+    new_snap = docs.filter(F.col("doc_id") % 3 != 1).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % SNAP_REV_MOD == 0,
+            F.concat(F.col("text"), F.lit(" [rev2]")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return snapshot_diff_from(old_snap, new_snap)
+
+
+ORACLE_SNAPSHOT_DIFF = f"""
+WITH a AS (
+  SELECT doc_id, md5(text) AS old_fp FROM documents WHERE doc_id % 3 <> 0
+),
+b AS (
+  SELECT doc_id,
+         md5(CASE WHEN doc_id % {SNAP_REV_MOD} = 0 THEN text || ' [rev2]'
+                  ELSE text END) AS new_fp
+  FROM documents WHERE doc_id % 3 <> 1
+)
+SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+       CASE WHEN a.doc_id IS NULL THEN 'added'
+            WHEN b.doc_id IS NULL THEN 'removed'
+            WHEN a.old_fp = b.new_fp THEN 'unchanged'
+            ELSE 'changed' END AS status,
+       COALESCE(old_fp, '') AS old_fp,
+       COALESCE(new_fp, '') AS new_fp
+FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+"""
+
+
 QUERIES = {
     "dedup_incremental": q_dedup_incremental,
+    "snapshot_diff": q_snapshot_diff,
 }
 
 ORACLES = {
     "dedup_incremental": ORACLE_DEDUP_INCREMENTAL,
+    "snapshot_diff": ORACLE_SNAPSHOT_DIFF,
 }

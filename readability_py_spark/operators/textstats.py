@@ -977,8 +977,117 @@ FROM d CROSS JOIN evarr
 """
 
 
+# Bloom sizing for the synthetic eval slice: 2048 words × 64 = 131,072
+# bits for ≤ ~10k eval grams ≈ 13 bits/gram → per-probe FP well under
+# 1% at k=5. Production sizing rule: ~10 bits per eval gram, k = 5-7;
+# a 100M-gram eval suite is a 125 MB bitmap — still one broadcast.
+BLOOM_WORDS = 2048
+BLOOM_K = 5
+
+
+def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The broadcast-Bloom front of eval-set decontamination that
+    q_decontaminate's docstring promises at the scale where the exact
+    eval-gram array outgrows a single broadcast row: the eval grams
+    are compiled IN-PLAN into a fixed-size bitmap (array<long>), and
+    the corpus side probes it with k xxhash64 hashes per gram —
+    map-only, zero corpus shuffle, O(bitmap) broadcast regardless of
+    eval-set cardinality.
+
+    Build: eval grams explode → k probe positions each → (word, bit)
+    → bit_or per word → one global map_from_entries row → dense
+    array<long> via transform over 0..BLOOM_WORDS-1 (missing words
+    coalesce to 0). Only the tiny eval slice ever shuffles.
+    Probe: per doc, `exists`/`filter` over the in-row gram array; a
+    gram hits iff ALL k probed bits are set. Spark's builtin
+    bloom_filter_agg/might_contain pair is not exposed in this build,
+    so the bitmap is built from the same public expression algebra the
+    rest of the engine uses (xxhash64/pmod/shiftleft/bit_or).
+
+    No DuckDB oracle (xxhash64 has no DuckDB twin — same status as
+    minhash_signatures_fast); correctness is pytest-pinned as the
+    Bloom contract vs the driver-certified exact `decontaminate`:
+    flagged ⊇ exactly-contaminated, zero false negatives, and a
+    bounded doc-level false-positive rate."""
+    docs = load_table(spark, sf_dir, "documents")
+    m_bits = F.lit(BLOOM_WORDS * 64)
+
+    def positions(g):
+        return [
+            F.pmod(F.xxhash64(g, F.lit(seed)), m_bits)
+            for seed in range(BLOOM_K)
+        ]
+
+    ev_g = (
+        docs.filter(F.col("doc_id") % DECON_SLICE == 0)
+        .select(F.explode(_gram_array(F.col("text"), DECON_N)).alias("g"))
+        .distinct()
+    )
+    # call_function: the F.shiftleft wrapper only takes a python-int
+    # shift, but the SQL builtin accepts a column expression
+    def one_shl(n):
+        return F.call_function(
+            "shiftleft", F.lit(1).cast("long"), n.cast("int")
+        )
+
+    ev_bits = ev_g.select(
+        F.explode(F.array(*positions(F.col("g")))).alias("pos")
+    ).select(
+        (F.col("pos") / 64).cast("int").alias("word"),
+        one_shl(F.col("pos") % 64).alias("bit"),
+    )
+    bitmap = (
+        ev_bits.groupBy("word")
+        .agg(F.bit_or("bit").alias("bits"))
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("word", "bits"))
+            ).alias("wm")
+        )
+        .select(
+            F.lit(1).alias("k"),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(BLOOM_WORDS - 1)),
+                # try_element_at: ANSI mode makes plain element_at
+                # THROW on a missing map key; absent words are zeros
+                lambda i: F.coalesce(
+                    F.try_element_at(F.col("wm"), i.cast("int")),
+                    F.lit(0).cast("long"),
+                ),
+            ).alias("bm"),
+        )
+    )
+
+    def gram_hits(g):
+        checks = [
+            F.element_at(F.col("bm"), (p / 64).cast("int") + 1).bitwiseAND(
+                one_shl(p % 64)
+            )
+            != 0
+            for p in positions(g)
+        ]
+        out = checks[0]
+        for c in checks[1:]:
+            out = out & c
+        return out
+
+    corpus = maybe_parallelize(docs, spark).select(
+        "doc_id",
+        F.array_distinct(_gram_array(F.col("text"), DECON_N)).alias("grams"),
+        F.lit(1).alias("k"),
+    )
+    hits = F.size(F.filter(F.col("grams"), gram_hits))
+    return corpus.join(F.broadcast(bitmap), "k").select(
+        "doc_id",
+        F.size("grams").alias("n_grams"),
+        hits.alias("bloom_hits"),
+        (hits > 0).alias("flagged"),
+    )
+
+
 QUERIES = {
     "winnow_fingerprint": q_winnow_fingerprint,
+    "decontaminate_bloom": q_decontaminate_bloom,
     "winnow_dup_candidates": q_winnow_dup_candidates,
     "quality_classifier": q_quality_classifier,
     "decontaminate": q_decontaminate,

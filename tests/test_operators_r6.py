@@ -212,3 +212,107 @@ def test_range_join_end_bucket_collapses_aligned_windows(spark):
     assert got[0] == [0]
     assert got[w] == [1]
     assert got[w // 2] == [0, 1]
+
+
+# ---------------------------------------------------------------------------
+# snapshot_diff (crawl delta)
+# ---------------------------------------------------------------------------
+
+
+def test_snapshot_diff_statuses_match_the_split_arithmetic(spark):
+    """The deterministic snapshot synthesis pins every status class:
+    doc_id %3==0 exists only in B (added), %3==1 only in A (removed),
+    %3==2 in both — changed iff %SNAP_REV_MOD==0, else unchanged."""
+    from readability_py_spark.operators.incremental import (
+        SNAP_REV_MOD,
+        q_snapshot_diff,
+    )
+
+    rows = q_snapshot_diff(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        want = (
+            "added"
+            if r.doc_id % 3 == 0
+            else "removed"
+            if r.doc_id % 3 == 1
+            else ("changed" if r.doc_id % SNAP_REV_MOD == 0 else "unchanged")
+        )
+        assert r.status == want, (r.doc_id, r.status, want)
+        assert (r.old_fp == "") == (r.status == "added")
+        assert (r.new_fp == "") == (r.status == "removed")
+        if r.status == "unchanged":
+            assert r.old_fp == r.new_fp
+        if r.status == "changed":
+            assert r.old_fp != r.new_fp
+    # the key space is the union of both snapshots, each key once
+    ids = [r.doc_id for r in rows]
+    assert len(ids) == len(set(ids))
+
+
+def test_snapshot_diff_never_ships_text(spark):
+    """Both sides reduce to (doc_id, md5) projections before the
+    full-outer join: no text column may survive past the scans (at
+    100 TB the diff moves fingerprints, never documents)."""
+    from readability_py_spark.operators.incremental import q_snapshot_diff
+
+    df = q_snapshot_diff(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().sparkPlan().toString()
+    for line in plan.splitlines():
+        if "SortMergeJoin" in line or "ShuffledHashJoin" in line:
+            assert "text" not in line, line
+    # join keys are the doc ids; the exchanged schema is id + one fp
+    assert "FullOuter" in plan or "full_outer" in plan.lower(), plan
+
+
+# ---------------------------------------------------------------------------
+# decontaminate_bloom (broadcast-Bloom decontamination front)
+# ---------------------------------------------------------------------------
+
+
+def test_decontaminate_bloom_contract_vs_exact(spark):
+    """The Bloom contract vs the driver-certified exact operator:
+    zero false negatives (every exactly-contaminated doc is flagged)
+    and a bounded doc-level false-positive rate at the documented
+    sizing (~13 bits/gram, k=5)."""
+    from readability_py_spark.operators.textstats import (
+        q_decontaminate,
+        q_decontaminate_bloom,
+    )
+
+    exact = {
+        r.doc_id: r.contaminated
+        for r in q_decontaminate(spark, SF_SMOKE).collect()
+    }
+    bloom = {
+        r.doc_id: r.flagged
+        for r in q_decontaminate_bloom(spark, SF_SMOKE).collect()
+    }
+    assert set(bloom) == set(exact)
+    contaminated = {d for d, c in exact.items() if c}
+    flagged = {d for d, f in bloom.items() if f}
+    assert contaminated <= flagged  # no false negatives, ever
+    clean = len(exact) - len(contaminated)
+    fps = len(flagged - contaminated)
+    assert fps <= max(1, int(0.05 * clean)), (fps, clean)
+
+
+def test_decontaminate_bloom_corpus_side_is_exchange_free(spark, tmp_path):
+    """Same shape guarantee as exact decontaminate: on a multi-split
+    corpus the probe side is scan → in-row gram/probe expressions →
+    broadcast join; only the tiny eval slice shuffles."""
+    from readability_py_spark.operators.textstats import q_decontaminate_bloom
+    from readability_py_spark.session import load_table
+
+    sf = str(tmp_path)
+    (
+        load_table(spark, SF_SMOKE, "documents")
+        .repartition(32)
+        .write.parquet(f"{sf}/documents.parquet")
+    )
+    df = q_decontaminate_bloom(spark, sf)
+    df.write.format("noop").mode("overwrite").save()
+    plan = df._jdf.queryExecution().executedPlan().toString().lower()
+    plan = plan.split("== initial plan ==")[0]
+    assert "roundrobin" not in plan, plan
+    assert "hashpartitioning(doc_id" not in plan, plan
