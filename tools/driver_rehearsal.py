@@ -38,8 +38,15 @@ def main() -> None:
         app_name="rps-driver-rehearsal", master="local[8]", shuffle_partitions="8"
     )
     spark.sparkContext.setLogLevel("ERROR")
+    # include_retired: a rehearsal's whole point is vetting a query
+    # BEFORE it rotates into the driver dict, so LOCAL_ONLY/RETIRED
+    # names must be addressable; the no-args default still rehearses
+    # exactly the current driver dict
+    q_all, o_all = merged_queries(include_retired=True)
     q, o = merged_queries()
     names = sys.argv[1:] or list(q)
+    if sys.argv[1:]:
+        q, o = q_all, o_all
     out: dict[str, dict] = {}
     n_green = 0
     for name in names:
