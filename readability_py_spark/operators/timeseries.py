@@ -46,9 +46,11 @@ def q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``click`` by the same user at-or-before its timestamp (the
     attribution query every event pipeline runs).
 
-    Plan: filter both streams off one scan, tag + union, ONE shuffle
-    on user_id, running ``last(ignorenulls)`` window — the whole as-of
-    is a single exchange (plan-asserted), no join operator and no
+    Plan: ONE scan with a two-type filter and an in-row is_probe tag
+    (r6 rewrite of the earlier tag+union form — no Union node, and the
+    exchanged row is exactly 4 columns), ONE shuffle on user_id,
+    running ``last(ignorenulls)`` window — the whole as-of is a single
+    exchange (plan-asserted), no join operator and no
     pre-aggregation. Ordering (ts, is_probe, event_id) encodes both
     semantics knobs: a click sorts before a purchase at the same
     timestamp (tag 0 < 1 → inclusive match, exactly DuckDB's
@@ -59,42 +61,34 @@ def q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     unspecified, so the oracle must resolve them before the as-of).
     """
     ev = load_table(spark, sf_dir, "events")
-    clicks = ev.filter(F.col("event_type") == "click").select(
-        "user_id", "ts", F.col("event_id").alias("c_event_id")
-    )
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "user_id", "ts", F.col("event_id").alias("p_event_id")
-    )
-    tagged = purchases.select(
+    # the exchanged row is exactly 4 columns — (user_id, ts, is_probe,
+    # event_id); the probe/match ids are DERIVED after the window from
+    # is_probe + event_id instead of being carried as two extra long
+    # columns through the shuffle (the r6 as-of scaling pair measured
+    # this plan memory/shuffle-bandwidth-bound at local[32], so every
+    # exchanged byte is wall time)
+    tagged = ev.filter(
+        F.col("event_type").isin("click", "purchase")
+    ).select(
         "user_id",
         "ts",
-        F.lit(1).alias("is_probe"),
-        F.col("p_event_id").alias("event_id"),
-        "p_event_id",
-        F.lit(None).cast("long").alias("c_event_id"),
-    ).unionByName(
-        clicks.select(
-            "user_id",
-            "ts",
-            F.lit(0).alias("is_probe"),
-            F.col("c_event_id").alias("event_id"),
-            F.lit(None).cast("long").alias("p_event_id"),
-            "c_event_id",
-        )
+        (F.col("event_type") == "purchase").cast("int").alias("is_probe"),
+        "event_id",
     )
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts", "is_probe", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    click_only = F.when(F.col("is_probe") == 0, F.col("event_id"))
     matched = tagged.withColumn(
-        "m_event_id", F.last("c_event_id", ignorenulls=True).over(w)
+        "m_event_id", F.last(click_only, ignorenulls=True).over(w)
     ).withColumn(
         "m_ts",
         F.last(F.when(F.col("is_probe") == 0, F.col("ts")), ignorenulls=True).over(w),
     )
     return matched.filter(F.col("is_probe") == 1).select(
-        "p_event_id",
+        F.col("event_id").alias("p_event_id"),
         "user_id",
         F.coalesce("m_event_id", F.lit(-1)).alias("c_event_id"),
         F.coalesce(
