@@ -137,13 +137,16 @@ def q_range_count_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = load_table(spark, sf_dir, "events")
     win_w = RANGE_WINDOW_SEC
+    # w_end is NOT carried through the shuffle — it is w_start plus a
+    # constant, so it is re-derived after the join (same slimming as
+    # the as-of rewrite: the equi-join exchanges one fewer timestamp
+    # column per window replica)
     windows = (
         ev.filter(F.col("event_type") == "signup")
         .select(
             F.col("event_id").alias("w_event_id"),
             "user_id",
             F.col("ts").alias("w_start"),
-            (F.col("ts") + F.expr(f"INTERVAL {win_w} SECONDS")).alias("w_end"),
         )
         .withColumn(
             "bucket",
@@ -165,9 +168,10 @@ def q_range_count_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         F.floor(F.unix_timestamp("ts") / win_w).alias("bucket"),
     )
+    w_end = F.col("w_start") + F.expr(f"INTERVAL {win_w} SECONDS")
     return (
         windows.join(errors, on=["user_id", "bucket"])
-        .filter((F.col("e_ts") >= F.col("w_start")) & (F.col("e_ts") < F.col("w_end")))
+        .filter((F.col("e_ts") >= F.col("w_start")) & (F.col("e_ts") < w_end))
         .groupBy("w_event_id", "user_id")
         .agg(
             F.count(F.lit(1)).alias("n_errors"),
