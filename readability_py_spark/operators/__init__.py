@@ -146,6 +146,12 @@ LOCAL_ONLY = {
     # driver-certified exact decontaminate, zero false negatives,
     # bounded FP rate)
     "decontaminate_bloom",
+    # corpus-trained bigram-LM perplexity scoring (CCNet-style quality
+    # filter) — oracle-paired, rotation candidate for r7
+    "ngram_lm_score",
+    # deterministic shuffle + train/val/test sharding — oracle-paired,
+    # rotation candidate for r7
+    "shuffle_shards",
 }
 
 
@@ -154,6 +160,7 @@ def merged_queries(include_retired: bool = False):
         dedup,
         groups,
         incremental,
+        lm,
         multimodal,
         packing,
         pipeline,
@@ -179,6 +186,7 @@ def merged_queries(include_retired: bool = False):
         incremental,
         similarity,
         textstats,
+        lm,
         multimodal,
         urls,
         pipeline,

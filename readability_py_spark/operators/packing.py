@@ -39,6 +39,12 @@ PACK_BUCKETS = 32  # independent packing streams (shuffle width)
 # floor(rate * 2^32) — integer compares, no float-boundary ambiguity
 SAMPLE_THRESHOLDS = {"en": 2_147_483_648, "_other": 858_993_459}  # 0.5 / 0.2
 
+# shuffle_shards: train/val/test split points (floor(0.9 * 2^32),
+# floor(0.95 * 2^32)) and the shard fan-out per split
+SPLIT_TRAIN_LT = 3_865_470_566
+SPLIT_VAL_LT = 4_080_218_931
+SHUFFLE_SHARDS = 16
+
 EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
 PHONE_RE = r"\+1-[0-9]{3}-[0-9]{4}"
 IP_RE = r"([0-9]{1,3}\.){3}[0-9]{1,3}"
@@ -230,14 +236,91 @@ FROM p
 """
 
 
+# ---------------------------------------------------------------------------
+# deterministic global shuffle + train/val/test sharding
+# ---------------------------------------------------------------------------
+
+
+def q_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus shuffle for dataloader shard prep: each doc
+    is assigned a train/val/test split (90/5/5 by the first 32 hash
+    bits), a shard within its split (the SECOND 32 hash bits, so shard
+    routing is independent of the split decision), and its position
+    inside that shard in hash order — the materialized order a
+    sequential reader of the shard files would see.
+
+    Scale shape: map-only hash derivation, then ONE hash shuffle on
+    (split, shard) with a per-shard window sort of corpus/SHARDS rows —
+    there is deliberately NO global row_number (a corpus-wide
+    ``Window.orderBy`` collapses to a single partition). Shards are the
+    parallelism unit exactly as they are the dataloader's unit; raising
+    SHUFFLE_SHARDS scales the sort. RNG-free: position and split are
+    pure functions of doc_id, so retries/replicas/backfills agree."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = docs.select(
+        "doc_id",
+        F.md5(
+            F.concat(F.lit("shuf:"), F.col("doc_id").cast("string"))
+        ).alias("hx"),
+    ).select(
+        "doc_id",
+        "hx",
+        F.expr(
+            "CAST(conv(substr(hx, 1, 8), 16, 10) AS BIGINT)"
+        ).alias("u32"),
+        (
+            F.expr("CAST(conv(substr(hx, 9, 8), 16, 10) AS BIGINT)")
+            % SHUFFLE_SHARDS
+        ).alias("shard"),
+    )
+    split = (
+        F.when(F.col("u32") < SPLIT_TRAIN_LT, F.lit("train"))
+        .when(F.col("u32") < SPLIT_VAL_LT, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    s = h.select("doc_id", "hx", "shard", split.alias("split"))
+    w = Window.partitionBy("split", "shard").orderBy("hx", "doc_id")
+    return s.select(
+        "doc_id",
+        "split",
+        "shard",
+        F.row_number().over(w).cast("bigint").alias("pos"),
+    )
+
+
+ORACLE_SHUFFLE_SHARDS = f"""
+WITH h AS (
+  SELECT doc_id, md5('shuf:' || CAST(doc_id AS VARCHAR)) AS hx
+  FROM documents
+), s AS (
+  SELECT doc_id, hx,
+         CAST('0x' || substr(hx, 1, 8) AS BIGINT) AS u32,
+         CAST('0x' || substr(hx, 9, 8) AS BIGINT) % {SHUFFLE_SHARDS} AS shard
+  FROM h
+), sp AS (
+  SELECT doc_id, hx, shard,
+         CASE WHEN u32 < {SPLIT_TRAIN_LT} THEN 'train'
+              WHEN u32 < {SPLIT_VAL_LT} THEN 'val'
+              ELSE 'test' END AS split
+  FROM s
+)
+SELECT doc_id, split, shard,
+       CAST(row_number() OVER (
+            PARTITION BY split, shard ORDER BY hx, doc_id) AS BIGINT) AS pos
+FROM sp
+"""
+
+
 QUERIES = {
     "pack_sequences": q_pack_sequences,
     "sample_stratified": q_sample_stratified,
     "pii_scrub": q_pii_scrub,
+    "shuffle_shards": q_shuffle_shards,
 }
 
 ORACLES = {
     "pack_sequences": ORACLE_PACK_SEQUENCES,
     "sample_stratified": ORACLE_SAMPLE_STRATIFIED,
     "pii_scrub": ORACLE_PII_SCRUB,
+    "shuffle_shards": ORACLE_SHUFFLE_SHARDS,
 }
