@@ -64,6 +64,7 @@ HEADLINE = [
     "sessionize_events",
     "events_asof_join",
     "range_count_join",
+    "events_rollup_multires",
     "events_pivot",
     "top_parts_by_revenue",
     "media_decode_stub",
@@ -71,6 +72,12 @@ HEADLINE = [
     "pack_sequences",
     "sample_stratified",
     "pii_scrub",
+    "winnow_dup_candidates",
+    "kmeans_refine",
+    "snapshot_diff",
+    "decontaminate_bloom",
+    "ngram_lm_score",
+    "shuffle_shards",
     "extract_articles",
 ]
 

@@ -88,14 +88,109 @@ class LocalTableCatalog:
         return rec
 
     def read(self, spark: SparkSession, name: str) -> DataFrame:
-        """Union of all COMMITTED snapshots (orphan dirs from crashed
-        writes are invisible — they never reached the commit log)."""
+        """Union of the LIVE committed snapshots (orphan dirs from
+        crashed writes are invisible — they never reached the commit
+        log). A committed compaction snapshot is a new baseline: it
+        already contains every row of the snapshots it replaced, so
+        reads union it with only the appends committed after it."""
         dirs = [
-            self._snap_dir(name, s["snapshot_id"]) for s in self.snapshots(name)
+            self._snap_dir(name, s["snapshot_id"])
+            for s in self.live_snapshots(name)
         ]
         if not dirs:
             raise FileNotFoundError(f"table {name} has no committed snapshots")
         return spark.read.parquet(*dirs)
+
+    def live_snapshots(self, name: str) -> list[dict]:
+        """The snapshots a read must union: everything from the latest
+        compaction baseline (inclusive) forward."""
+        snaps = self.snapshots(name)
+        for i in range(len(snaps) - 1, -1, -1):
+            if snaps[i].get("kind") == "compaction":
+                return snaps[i:]
+        return snaps
+
+    def compact(
+        self,
+        spark: SparkSession,
+        name: str,
+        target_file_bytes: int = 128 << 20,
+        lineage: dict | None = None,
+    ) -> dict:
+        """Small-file compaction (Iceberg ``rewrite_data_files``): the
+        standing maintenance job of an incrementally-appended table —
+        checkpointed ingest commits many small snapshots, and scan cost
+        degrades with file count, not byte count.
+
+        Rewrites all live rows into ONE new snapshot coalesced to
+        ~target_file_bytes files and commits it as a compaction
+        baseline; the replaced snapshots stay committed (time travel
+        via read_snapshot still works) until ``expire_snapshots``
+        reclaims them. Same atomic-commit property as append: the
+        rewrite lands in a snapshot-private dir and becomes visible
+        only at the commit-log append, so a crash mid-compaction
+        leaves the table reading exactly what it read before.
+
+        The output file count comes from the live snapshots' on-disk
+        bytes (filesystem metadata — no data scan), and the rewrite
+        itself is one job over the live rows: O(live bytes), never
+        O(history). At 100 TB compaction runs per partition/bucket
+        slice (compact the partitions whose small-file count crossed a
+        threshold), not table-wide; the commit protocol is identical."""
+        live = self.live_snapshots(name)
+        if not live:
+            raise FileNotFoundError(f"table {name} has no committed snapshots")
+        total_bytes = 0
+        for s in live:
+            sdir = self._snap_dir(name, s["snapshot_id"])
+            for fn in os.listdir(sdir):
+                if fn.endswith(".parquet"):
+                    total_bytes += os.path.getsize(os.path.join(sdir, fn))
+        n_files = max(1, -(-total_bytes // max(1, target_file_bytes)))
+        df = self.read(spark, name)
+        snap_id = uuid.uuid4().hex[:16]
+        sdir = self._snap_dir(name, snap_id)
+        df.coalesce(n_files).write.mode("error").parquet(sdir)
+        rows = spark.read.parquet(sdir).count()  # footer metadata only
+        snaps = self.snapshots(name)
+        rec = {
+            "snapshot_id": snap_id,
+            "parent_id": snaps[-1]["snapshot_id"],
+            "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            "kind": "compaction",
+            "replaces": [s["snapshot_id"] for s in live],
+            "added_rows": 0,
+            "total_rows": rows,
+            "data_dir": os.path.join("data", snap_id),
+            "lineage": lineage or {},
+        }
+        with open(self._snap_log(name), "a") as fh:
+            fh.write(json.dumps(rec) + "\n")
+        return rec
+
+    def expire_snapshots(self, name: str) -> list[str]:
+        """Reclaim snapshots replaced by a later compaction (Iceberg
+        ``expire_snapshots``): their data dirs are deleted and their
+        records drop out of the commit log, ending time travel to them
+        — exactly Iceberg's contract. Returns the expired ids.
+
+        Log rewrite is last (after the dirs are gone): a crash
+        mid-expiry leaves expired records pointing at missing dirs at
+        worst, and those are no longer unioned by reads (they precede
+        the compaction baseline), so reads never break."""
+        import shutil
+
+        snaps = self.snapshots(name)
+        keep = self.live_snapshots(name)
+        keep_ids = {s["snapshot_id"] for s in keep}
+        expired = [s for s in snaps if s["snapshot_id"] not in keep_ids]
+        for s in expired:
+            shutil.rmtree(self._snap_dir(name, s["snapshot_id"]), True)
+        if expired:
+            with open(self._snap_log(name), "w") as fh:
+                for s in keep:
+                    fh.write(json.dumps(s) + "\n")
+        return [s["snapshot_id"] for s in expired]
 
     def read_snapshot(
         self, spark: SparkSession, name: str, snap_id: str
