@@ -619,8 +619,15 @@ def _simhash_sql(
         # only when the documents scan is split-starved (single parquet
         # file at test SF), "" on a real multi-split input where the
         # old hardcoded /*+ REPARTITION(32) */ would have COALESCED a
-        # many-split scan (VERDICT r4 "What's wrong" #1).
-        hashed = f"SELECT {hint}doc_id, {hs} AS hs FROM {source_table}"
+        # many-split scan (VERDICT r4 "What's wrong" #1). The hint
+        # lives in an INNER subquery: a hint in the hash-build block
+        # repartitions that block's OUTPUT, so the per-token md5 build
+        # would compute below the exchange, serially on the
+        # single-split scan (the winnow serial-build bug, r6).
+        hashed = (
+            f"SELECT doc_id, {hs} AS hs "
+            f"FROM (SELECT {hint}* FROM {source_table})"
+        )
     else:
         hs = (
             "list_transform(list_distinct(string_split(text, ' ')), "

@@ -393,3 +393,41 @@ def test_ngram_lm_score_is_a_real_lm(spark):
     assert all(r.avg_nll > 0 for r in rows)
     assert all(r.n_bigrams >= 1 for r in rows)
     assert len({r.avg_nll for r in rows}) > 1
+
+
+# ---------------------------------------------------------------------------
+# hint placement: expensive builds must compute ABOVE the exchange
+# ---------------------------------------------------------------------------
+
+
+def _build_above_exchange(df, marker: str) -> None:
+    """Assert the expensive-build marker expression sits ABOVE the
+    parallelizing exchange in the physical plan (tree printing puts
+    parents first, so the marker's first line index must be smaller).
+    Guards the r6 hint-placement bug: a REPARTITION hint in the SAME
+    select block as a CPU-heavy projection repartitions that block's
+    OUTPUT, so the build computed below the exchange — serially on the
+    single-split scan (the whole 17-20 s winnow build was one core).
+    The hint must live in an inner subquery over the raw columns."""
+    lines = _final_plan(df).splitlines()
+    marker_i = [i for i, l in enumerate(lines) if marker in l]
+    exchange_i = [i for i, l in enumerate(lines) if "exchange" in l]
+    assert marker_i, "\n".join(lines)
+    assert exchange_i, "hint did not fire on the single-split scan"
+    assert min(marker_i) < min(exchange_i), "\n".join(lines)
+
+
+def test_hinted_builds_run_above_the_exchange(spark):
+    from readability_py_spark.operators.dedup import q_simhash_docs
+    from readability_py_spark.operators.textstats import (
+        q_quality_classifier,
+        q_winnow_fingerprint,
+    )
+
+    # winnow: md5 gram build + the Generate carrying the normalized
+    # text (the per-gram-lambda regexp hoist) both above the exchange
+    df = q_winnow_fingerprint(spark, SF_SMOKE)
+    _build_above_exchange(df, "md5")
+    _build_above_exchange(df, "generate")
+    _build_above_exchange(q_simhash_docs(spark, SF_SMOKE), "md5")
+    _build_above_exchange(q_quality_classifier(spark, SF_SMOKE), "md5")
