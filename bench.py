@@ -78,6 +78,8 @@ HEADLINE = [
     "decontaminate_bloom",
     "ngram_lm_score",
     "shuffle_shards",
+    "boilerplate_lines",
+    "dsir_importance",
     "extract_articles",
 ]
 

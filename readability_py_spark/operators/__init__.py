@@ -152,6 +152,12 @@ LOCAL_ONLY = {
     # deterministic shuffle + train/val/test sharding — oracle-paired,
     # rotation candidate for r7
     "shuffle_shards",
+    # CCNet/RefinedWeb-style cross-doc boilerplate line removal —
+    # oracle-paired, rotation candidate for r7
+    "boilerplate_lines",
+    # DSIR hashed-n-gram importance weighting vs the lang='en' target
+    # slice — oracle-paired, rotation candidate for r7
+    "dsir_importance",
 }
 
 

@@ -119,10 +119,126 @@ GROUP BY b.doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# DSIR importance weighting (Xie et al. 2023, "Data Selection for
+# Language Models via Importance Resampling" — public): estimate a
+# hashed-n-gram bag-of-words distribution for a TARGET slice and for
+# the RAW corpus, then weight every raw document by its log importance
+# ratio sum_b c_doc(b) * (ln p_target(b) - ln p_raw(b)). The published
+# pipeline resamples with these weights; the weight computation is the
+# corpus operator (the resample itself is sample_stratified's
+# md5-threshold pattern applied to the weights).
+# ---------------------------------------------------------------------------
+
+DSIR_BUCKETS = 512  # hashed uni+bigram feature space (paper uses 10k)
+DSIR_TARGET_LANG = "en"  # deterministic target slice of the corpus
+
+
+def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document DSIR log importance weight against the lang='en'
+    target slice, over md5-bucketed uni+bigram features (the same hash
+    family as quality_classifier).
+
+    Scale shape (100 TB): ONE exploded feature relation feeds four
+    consumers (target bucket counts, raw bucket counts, their two
+    1-row totals via grand aggregates, and the scoring side), so it is
+    eager-persisted — the multi-reference rule. Both bucket
+    distributions collapse to <= DSIR_BUCKETS rows, so the trained
+    model is a broadcast joined back map-side: the whole operator is
+    one explode + two partial-agg shuffles over bucket ids (map-side
+    combined into <= B rows per task) + one final doc_id aggregation.
+    Unlike ngram_lm_score the model side is FIXED-size (hashing trick),
+    so the broadcast never outgrows an executor regardless of corpus
+    size — that is DSIR's point.
+
+    Float discipline: bucket probabilities are exact integer ratios;
+    only ln() and the per-doc sum are float -> round(,4) + 0.0,
+    validated at both SFs (CLAUDE.md float rules).
+    """
+    b_mod = DSIR_BUCKETS
+    docs = maybe_parallelize(load_table(spark, sf_dir, "documents"), spark)
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("ws"),
+    )
+    bucket = f"CAST(conv(substr(md5(x), 1, 4), 16, 10) AS INT) % {b_mod}"
+    bigrams = (
+        "zip_with(slice(ws, 1, size(ws) - 1), slice(ws, 2, size(ws) - 1),"
+        " (a, b) -> concat(a, '_', b))"
+    )
+    feats = F.expr(
+        f"concat(transform(ws, x -> {bucket}),"
+        f" transform({bigrams}, x -> {bucket}))"
+    )
+    feat = _persist(
+        toks.select("doc_id", "lang", F.explode(feats).alias("b")),
+        eager=True,  # four consumers below — the multi-reference rule
+    )
+    tgt = feat.filter(F.col("lang") == DSIR_TARGET_LANG)
+    ct = tgt.groupBy("b").agg(F.count("*").alias("ct"))
+    cr = feat.groupBy("b").agg(F.count("*").alias("cr"))
+    nt = tgt.agg(F.count("*").alias("nt"))
+    nr = feat.agg(F.count("*").alias("nr"))
+    lw = F.log(
+        (F.coalesce(F.col("ct"), F.lit(0)) + F.lit(1.0))
+        / (F.col("nt") + F.lit(float(b_mod)))
+    ) - F.log((F.col("cr") + F.lit(1.0)) / (F.col("nr") + F.lit(float(b_mod))))
+    model = (
+        cr.join(ct, "b", "left")
+        .crossJoin(F.broadcast(nt))
+        .crossJoin(F.broadcast(nr))
+        .select("b", lw.alias("lw"))
+    )
+    return (
+        feat.join(F.broadcast(model), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_feats"),
+            (F.round(F.sum("lw"), 4) + F.lit(0.0)).alias("log_iw"),
+        )
+    )
+
+
+_DSIR_BUCKET = f"(CAST('0x' || substr(md5({{t}}), 1, 4) AS INT) % {DSIR_BUCKETS})"
+
+ORACLE_DSIR_IMPORTANCE = rf"""
+WITH t AS (
+  SELECT doc_id, lang, regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+  FROM documents
+), feat AS (
+  SELECT doc_id, lang,
+         unnest(list_concat(
+           list_transform(ws, x -> {_DSIR_BUCKET.format(t="x")}),
+           list_transform(range(1, len(ws)),
+                          i -> {_DSIR_BUCKET.format(t="ws[i] || '_' || ws[i+1]")})
+         )) AS b
+  FROM t
+), ct AS (SELECT b, count(*) AS ct FROM feat
+          WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY 1),
+   cr AS (SELECT b, count(*) AS cr FROM feat GROUP BY 1),
+   nt AS (SELECT count(*) AS nt FROM feat WHERE lang = '{DSIR_TARGET_LANG}'),
+   nr AS (SELECT count(*) AS nr FROM feat),
+   model AS (
+     SELECT cr.b,
+            ln((COALESCE(ct, 0) + 1.0) / (nt + {DSIR_BUCKETS}.0))
+            - ln((cr + 1.0) / (nr + {DSIR_BUCKETS}.0)) AS lw
+     FROM cr LEFT JOIN ct USING (b) CROSS JOIN nt CROSS JOIN nr
+   )
+SELECT f.doc_id,
+       CAST(count(*) AS BIGINT) AS n_feats,
+       round(sum(lw), 4) + 0.0 AS log_iw
+FROM feat f JOIN model USING (b)
+GROUP BY f.doc_id
+"""
+
+
 QUERIES = {
     "ngram_lm_score": q_ngram_lm_score,
+    "dsir_importance": q_dsir_importance,
 }
 
 ORACLES = {
     "ngram_lm_score": ORACLE_NGRAM_LM_SCORE,
+    "dsir_importance": ORACLE_DSIR_IMPORTANCE,
 }

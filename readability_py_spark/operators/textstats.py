@@ -1099,8 +1099,111 @@ def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Cross-document boilerplate line removal (the CCNet / RefinedWeb
+# paragraph-dedup stage, public practice: Wenzek et al. 2020 dedup by
+# paragraph hash; Penedo et al. 2023 "RefinedWeb" line-level dedup of
+# repeated headers/footers/nav text within a source): a LINE that
+# recurs across >= BP_MIN_DOCS distinct documents of the same source
+# is boilerplate (nav bars, cookie banners, footers); report per-doc
+# retention stats.
+# ---------------------------------------------------------------------------
+
+BP_LINE_WORDS = 3  # words per synthesized line (the corpus has no \n)
+BP_MIN_DOCS = 2  # recurrence threshold within one source
+
+
+def q_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document boilerplate-line stats: lines (BP_LINE_WORDS-word
+    chunks of the normalized text — the corpus carries no newlines, so
+    chunking synthesizes line structure the way gopher_lines does)
+    whose exact text recurs in >= BP_MIN_DOCS distinct docs of the
+    same source are boilerplate.
+
+    Scale shape (100 TB): the exploded line relation feeds TWO
+    consumers (the frequency build and the join-back), so it is
+    eager-persisted — the multi-reference rule. The frequency pass is
+    one (source, line) shuffle with map-side combine; the boilerplate
+    set after the HAVING filter is the sparse tail (duplicated lines
+    only — orders of magnitude smaller than the corpus), so the
+    join-back is a LEFT equi-join AQE turns into a broadcast when the
+    boilerplate set fits (not forced: a 100 TB crawl's nav-text table
+    can outgrow a single executor, in which case it must shuffle);
+    then one doc_id re-aggregation. No sort, no window, no crossJoin.
+    """
+    k = BP_LINE_WORDS
+    docs = maybe_parallelize(load_table(spark, sf_dir, "documents"), spark)
+    lines_arr = F.expr(
+        f"transform(sequence(0, (size(ws) + {k - 1}) div {k} - 1),"
+        f" i -> array_join(slice(ws, i * {k} + 1, {k}), ' '))"
+    )
+    from .dedup import _persist  # shared cache registry (release hook)
+
+    lines = _persist(
+        docs.select(
+            "doc_id",
+            "source",
+            F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("ws"),
+        ).select("doc_id", "source", F.explode(lines_arr).alias("line")),
+        eager=True,  # two consumers below — the multi-reference rule
+    )
+    boiler = (
+        lines.groupBy("source", "line")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= BP_MIN_DOCS)
+        .select("source", "line", F.lit(True).alias("is_b"))
+    )
+    n_boiler = F.sum(F.when(F.col("is_b"), 1).otherwise(0)).cast("bigint")
+    return (
+        lines.join(boiler, ["source", "line"], "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_lines"),
+            n_boiler.alias("n_boiler"),
+            (
+                F.round(
+                    n_boiler.cast("double") / F.count("*"), 4
+                )
+                + F.lit(0.0)
+            ).alias("boiler_frac"),
+            (n_boiler == 0).alias("clean"),
+        )
+    )
+
+
+ORACLE_BOILERPLATE_LINES = rf"""
+WITH t AS (
+  SELECT doc_id, source,
+         regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+  FROM documents
+), lines AS (
+  SELECT doc_id, source,
+         array_to_string(
+           ws[i * {BP_LINE_WORDS} + 1 : i * {BP_LINE_WORDS} + {BP_LINE_WORDS}],
+           ' ') AS line
+  FROM t, UNNEST(range(0, (len(ws) + {BP_LINE_WORDS - 1}) // {BP_LINE_WORDS}))
+       AS g(i)
+), boiler AS (
+  SELECT source, line, TRUE AS is_b
+  FROM lines GROUP BY 1, 2
+  HAVING count(DISTINCT doc_id) >= {BP_MIN_DOCS}
+)
+SELECT l.doc_id,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(COALESCE(sum(CASE WHEN is_b THEN 1 ELSE 0 END), 0) AS BIGINT)
+         AS n_boiler,
+       round(CAST(COALESCE(sum(CASE WHEN is_b THEN 1 ELSE 0 END), 0) AS DOUBLE)
+             / count(*), 4) + 0.0 AS boiler_frac,
+       COALESCE(sum(CASE WHEN is_b THEN 1 ELSE 0 END), 0) = 0 AS clean
+FROM lines l
+LEFT JOIN boiler b ON l.source = b.source AND l.line = b.line
+GROUP BY l.doc_id
+"""
+
+
 QUERIES = {
     "winnow_fingerprint": q_winnow_fingerprint,
+    "boilerplate_lines": q_boilerplate_lines,
     "decontaminate_bloom": q_decontaminate_bloom,
     "winnow_dup_candidates": q_winnow_dup_candidates,
     "quality_classifier": q_quality_classifier,
@@ -1117,6 +1220,7 @@ QUERIES = {
 
 ORACLES = {
     "winnow_fingerprint": ORACLE_WINNOW_FINGERPRINT,
+    "boilerplate_lines": ORACLE_BOILERPLATE_LINES,
     "winnow_dup_candidates": ORACLE_WINNOW_DUP_CANDIDATES,
     "quality_classifier": ORACLE_QUALITY_CLASSIFIER,
     "decontaminate": ORACLE_DECONTAMINATE,

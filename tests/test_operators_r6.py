@@ -431,3 +431,72 @@ def test_hinted_builds_run_above_the_exchange(spark):
     _build_above_exchange(df, "generate")
     _build_above_exchange(q_simhash_docs(spark, SF_SMOKE), "md5")
     _build_above_exchange(q_quality_classifier(spark, SF_SMOKE), "md5")
+
+
+# ---------------------------------------------------------------------------
+# late-r6 operators: boilerplate_lines + dsir_importance
+# ---------------------------------------------------------------------------
+
+
+def test_boilerplate_lines_shares_one_line_build(spark):
+    """The exploded line relation feeds two consumers (frequency build
+    + join-back) — the multi-reference rule demands ONE eager persist,
+    visible as >= 2 InMemoryTableScans; the join-back must be an
+    equi-join (never a nested loop over corpus lines)."""
+    from readability_py_spark.operators.textstats import q_boilerplate_lines
+
+    df = q_boilerplate_lines(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().sparkPlan().toString()
+    assert plan.count("InMemoryTableScan") >= 2, plan
+    assert "NestedLoop" not in plan, plan
+
+
+def test_boilerplate_lines_finds_cross_doc_boilerplate(spark):
+    """The sf0.001 corpus has measured cross-doc duplicate 3-word
+    chunks within sources, so the operator must flag some docs while
+    keeping the bounds sane (n_boiler <= n_lines, frac in [0, 1])."""
+    from readability_py_spark.operators.textstats import q_boilerplate_lines
+
+    rows = q_boilerplate_lines(spark, SF_SMOKE).collect()
+    assert rows
+    assert all(0 <= r.n_boiler <= r.n_lines for r in rows)
+    assert all(0.0 <= r.boiler_frac <= 1.0 for r in rows)
+    assert all(r.clean == (r.n_boiler == 0) for r in rows)
+    assert any(not r.clean for r in rows)
+
+
+def test_dsir_importance_model_is_broadcast_and_feats_shared(spark):
+    """The exploded hashed-feature relation feeds five consumers
+    (target counts, raw counts, two 1-row totals, the scoring side) —
+    one eager persist (>= 4 InMemoryTableScans; Catalyst may merge the
+    count-only subtrees) — and the fixed-size model (<= DSIR_BUCKETS
+    rows) joins back as a BroadcastHashJoin: the corpus side never
+    shuffles for the scoring join."""
+    from readability_py_spark.operators.lm import q_dsir_importance
+
+    df = q_dsir_importance(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().sparkPlan().toString()
+    assert plan.count("InMemoryTableScan") >= 4, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_dsir_importance_weights_favor_the_target_slice(spark):
+    """DSIR semantics: documents from the target distribution
+    (lang='en') must average a strictly higher log importance weight
+    than the rest of the corpus (measured +0.42 vs -1.80 at sf0.001)."""
+    from readability_py_spark.operators.lm import (
+        DSIR_TARGET_LANG,
+        q_dsir_importance,
+    )
+    from readability_py_spark.session import load_table
+
+    w = q_dsir_importance(spark, SF_SMOKE)
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "lang")
+    means = {
+        r.is_t: r.m
+        for r in w.join(docs, "doc_id")
+        .groupBy((F.col("lang") == DSIR_TARGET_LANG).alias("is_t"))
+        .agg(F.avg("log_iw").alias("m"))
+        .collect()
+    }
+    assert means[True] > means[False] + 0.5, means
