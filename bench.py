@@ -80,6 +80,8 @@ HEADLINE = [
     "shuffle_shards",
     "boilerplate_lines",
     "dsir_importance",
+    "bm25_search",
+    "domain_mixture",
     "extract_articles",
 ]
 

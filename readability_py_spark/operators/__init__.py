@@ -158,6 +158,12 @@ LOCAL_ONLY = {
     # DSIR hashed-n-gram importance weighting vs the lang='en' target
     # slice — oracle-paired, rotation candidate for r7
     "dsir_importance",
+    # BM25 top-k full-text search (map-only tf + 1-row stats broadcast
+    # + TakeOrdered) — oracle-paired, rotation candidate for r7
+    "bm25_search",
+    # temperature-smoothed source-mixture reweighting (XLM-R alpha=0.5
+    # sampling rule) — oracle-paired, rotation candidate for r7
+    "domain_mixture",
 }
 
 
@@ -171,6 +177,7 @@ def merged_queries(include_retired: bool = False):
         packing,
         pipeline,
         relational,
+        search,
         similarity,
         textstats,
         timeseries,
@@ -190,6 +197,7 @@ def merged_queries(include_retired: bool = False):
         relational,
         dedup,
         incremental,
+        search,
         similarity,
         textstats,
         lm,

@@ -311,8 +311,84 @@ FROM sp
 """
 
 
+# ---------------------------------------------------------------------------
+# source-mixture reweighting (temperature sampling)
+# ---------------------------------------------------------------------------
+
+MIXTURE_ALPHA = 0.5  # temperature exponent: target share ∝ share^alpha
+
+
+def q_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source sampling weights that rebalance the corpus mixture by
+    temperature smoothing (the multilingual-sampling rule of
+    Conneau & Lample 2019 / XLM-R, alpha = 0.5 — i.e. sqrt): natural
+    token share p_s, smoothed target share q_s = sqrt(p_s) / Σ sqrt(p),
+    and the per-doc sampling weight w_s = q_s / p_s that a downstream
+    sampler (sample_stratified's md5-threshold pattern) applies.
+
+    Scale shape: ONE partial-agg shuffle on ``source`` (map-side
+    combined to one row per source per task), then unpartitioned
+    windows over the REDUCED per-source relation — a handful of rows
+    regardless of corpus size, so the single-partition window is on the
+    already-tiny aggregate, never on doc rows. Map-only + one tiny
+    shuffle at any scale.
+
+    Float discipline: p is an exact bigint ratio cast to double;
+    alpha = 0.5 is computed as sqrt() (IEEE correctly-rounded in both
+    engines, unlike pow); outputs round(,4) + 0.0, validated both SFs.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    per = (
+        docs.select(
+            "source",
+            F.size(F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
+            .cast("bigint")
+            .alias("nt"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("nt").cast("bigint").alias("n_tokens"),
+        )
+    )
+    w_all = Window.partitionBy()
+    p = F.col("n_tokens").cast("double") / F.sum("n_tokens").over(
+        w_all
+    ).cast("double")
+    shares = per.select("source", "n_docs", "n_tokens", p.alias("p"))
+    q = F.sqrt(F.col("p")) / F.sum(F.sqrt(F.col("p"))).over(w_all)
+    return shares.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        (F.round(F.col("p"), 4) + F.lit(0.0)).alias("share"),
+        (F.round(q, 4) + F.lit(0.0)).alias("target_share"),
+        (F.round(q / F.col("p"), 4) + F.lit(0.0)).alias("weight"),
+    )
+
+
+ORACLE_DOMAIN_MIXTURE = r"""
+WITH per AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len(regexp_split_to_array(trim(lower(text)), '\s+')))
+              AS BIGINT) AS n_tokens
+  FROM documents GROUP BY 1
+), shares AS (
+  SELECT source, n_docs, n_tokens,
+         CAST(n_tokens AS DOUBLE) / CAST(SUM(n_tokens) OVER () AS DOUBLE) AS p
+  FROM per
+)
+SELECT source, n_docs, n_tokens,
+       round(p, 4) + 0.0 AS share,
+       round(sqrt(p) / SUM(sqrt(p)) OVER (), 4) + 0.0 AS target_share,
+       round(sqrt(p) / SUM(sqrt(p)) OVER () / p, 4) + 0.0 AS weight
+FROM shares
+"""
+
+
 QUERIES = {
     "pack_sequences": q_pack_sequences,
+    "domain_mixture": q_domain_mixture,
     "sample_stratified": q_sample_stratified,
     "pii_scrub": q_pii_scrub,
     "shuffle_shards": q_shuffle_shards,
@@ -320,6 +396,7 @@ QUERIES = {
 
 ORACLES = {
     "pack_sequences": ORACLE_PACK_SEQUENCES,
+    "domain_mixture": ORACLE_DOMAIN_MIXTURE,
     "sample_stratified": ORACLE_SAMPLE_STRATIFIED,
     "pii_scrub": ORACLE_PII_SCRUB,
     "shuffle_shards": ORACLE_SHUFFLE_SHARDS,

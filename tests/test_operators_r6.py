@@ -500,3 +500,80 @@ def test_dsir_importance_weights_favor_the_target_slice(spark):
         .collect()
     }
     assert means[True] > means[False] + 0.5, means
+
+
+# ---------------------------------------------------------------------------
+# bm25_search (full-text relevance top-k)
+# ---------------------------------------------------------------------------
+
+
+def test_bm25_search_plan_is_takeordered_and_shuffle_free(spark):
+    """The scale contract: per-doc tf is in-row (no corpus explode), the
+    corpus stats collapse to a broadcast 1-row aggregate, and the top-k
+    is TakeOrderedAndProject — no hash exchange of doc rows anywhere
+    (the only exchange is the 1-row stats agg's SinglePartition)."""
+    from readability_py_spark.operators.search import q_bm25_search
+
+    df = q_bm25_search(spark, SF_SMOKE)
+    plan = _final_plan(df)
+    assert "takeorderedandproject" in plan, plan
+    assert "hashpartitioning" not in plan, plan
+    assert "broadcastnestedloopjoin" in plan, plan  # 1-row stats side
+
+
+def test_bm25_search_ranking_semantics(spark):
+    """Every hit contains a query term, scores are positive and
+    non-increasing in rank order, and a doc made rare-term-heavier
+    ranks above one with the same tf of a common term (idf monotone)."""
+    from readability_py_spark.operators.search import (
+        BM25_TOP_K,
+        QUERY_TERMS,
+        q_bm25_search,
+    )
+
+    rows = q_bm25_search(spark, SF_SMOKE).collect()
+    assert 0 < len(rows) <= BM25_TOP_K
+    scores = [r.score for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert all(r.score > 0 and r.tf_total > 0 for r in rows)
+    # returned docs genuinely contain a query term
+    import duckdb
+
+    ids = ",".join(str(r.doc_id) for r in rows)
+    terms = " OR ".join(
+        f"len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),"
+        f" x -> x = '{t}')) > 0"
+        for t in QUERY_TERMS
+    )
+    n_ok = duckdb.sql(
+        f"SELECT count(*) FROM '{SF_SMOKE}/documents.parquet' "
+        f"WHERE doc_id IN ({ids}) AND ({terms})"
+    ).fetchone()[0]
+    assert n_ok == len(rows)
+
+
+# ---------------------------------------------------------------------------
+# domain_mixture (temperature-smoothed source reweighting)
+# ---------------------------------------------------------------------------
+
+
+def test_domain_mixture_rebalances_toward_small_sources(spark):
+    """Shares and target shares each sum to ~1, every source keeps a
+    positive weight, and the alpha=0.5 rule upweights low-resource
+    sources: weight order is the inverse of token-count order."""
+    import duckdb
+
+    from readability_py_spark.operators.packing import q_domain_mixture
+
+    rows = q_domain_mixture(spark, SF_SMOKE).collect()
+    assert len(rows) >= 2
+    assert abs(sum(r.share for r in rows) - 1.0) < 1e-2
+    assert abs(sum(r.target_share for r in rows) - 1.0) < 1e-2
+    assert all(r.weight > 0 for r in rows)
+    by_tokens = sorted(rows, key=lambda r: r.n_tokens)
+    weights = [r.weight for r in by_tokens]
+    assert weights == sorted(weights, reverse=True), weights
+    n_docs = duckdb.sql(
+        f"SELECT count(*) FROM '{SF_SMOKE}/documents.parquet'"
+    ).fetchone()[0]
+    assert sum(r.n_docs for r in rows) == n_docs
