@@ -82,6 +82,7 @@ HEADLINE = [
     "dsir_importance",
     "bm25_search",
     "domain_mixture",
+    "semdedup",
     "extract_articles",
 ]
 

@@ -164,6 +164,9 @@ LOCAL_ONLY = {
     # temperature-smoothed source-mixture reweighting (XLM-R alpha=0.5
     # sampling rule) — oracle-paired, rotation candidate for r7
     "domain_mixture",
+    # SemDeDup-style semantic dedup: IVF-cell assign + within-cell
+    # keeper-pool cosine drop — oracle-paired, rotation candidate r7
+    "semdedup",
 }
 
 

@@ -469,6 +469,129 @@ FROM dims GROUP BY cell, dv.dim
 """
 
 
+# SemDeDup (Abbas et al. 2023) knobs: candidate generation is
+# within-IVF-cell only, and each doc compares against the cell's keeper
+# pool (the SEMDEDUP_POOL lowest vec_ids of the cell) instead of all
+# cell members — |cell| × POOL comparisons, linear in the cell, the
+# same bounded-candidate discipline as the MinHash hot-bucket caps.
+SEMDEDUP_COS = 0.42
+SEMDEDUP_POOL = 32
+
+
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic deduplication over the embedding space (the SemDeDup
+    pattern): cluster the corpus by nearest IVF centroid, then inside
+    each cluster drop any vector whose cosine to an earlier-id keeper
+    exceeds the threshold. Output = the dropped rows with their
+    (lowest-id) keeper and the cosine that condemned them.
+
+    Scale shape: cell assignment is the map-only argmax reused from
+    q_ann_ivf_topk / q_kmeans_refine; the keeper pool is found from a
+    SLIM (vec_id, cell) projection — the only full-corpus exchange
+    carries two ints per doc, never the vectors (round-6 rule: slim
+    every exchanged column) — and the pool itself is IVF_CELLS × POOL
+    rows, broadcast into the comparison join, so the corpus side of
+    the verify stage never shuffles. The final keeper-selection window
+    partitions only surviving candidate rows. At 100 TB the knobs are
+    more cells + a bigger pool; the quadratic-within-cell variant of
+    the paper is deliberately not offered.
+
+    Determinism: keeper pool ranked by vec_id; threshold compares the
+    ROUND(.,4) cosine in both dialects; keeper = min qualifying k_id.
+    LOCAL_ONLY (past the 50-slot budget); oracle-paired locally."""
+    from .dedup import _persist
+
+    n = _normed(spark, sf_dir)
+    dots = F.array(*[_dot(F.col("v"), _lit_vec(c)) for c in IVF_CENTROIDS])
+    assigned = _persist(
+        n.select("vec_id", "v", "nrm", dots.alias("dots")).select(
+            "vec_id",
+            "v",
+            "nrm",
+            F.expr("CAST(array_position(dots, array_max(dots)) AS INT)").alias(
+                "cell"
+            ),
+        ),
+        eager=True,  # multi-referenced below (pool fetch + compare side)
+    )
+    wcell = Window.partitionBy("cell").orderBy("vec_id")
+    pool_ids = (
+        assigned.select("vec_id", "cell")
+        .withColumn("rn", F.row_number().over(wcell))
+        .filter(F.col("rn") <= SEMDEDUP_POOL)
+        .select("cell", F.col("vec_id").alias("k_id"))
+    )
+    # rename every pool column: both sides of the comparison join
+    # descend from `assigned`, so unrenamed columns would resolve to
+    # the same lineage (trivially-true cell == cell)
+    # pool_ids is ≤ IVF_CELLS × POOL rows — broadcast it into the
+    # vector fetch so `assigned` (which carries the vectors) never
+    # exchanges on k_id
+    pool = F.broadcast(
+        pool_ids.select(F.col("cell").alias("p_cell"), "k_id")
+    ).join(
+        assigned.select(
+            F.col("vec_id").alias("k_id"),
+            F.col("v").alias("kv"),
+            F.col("nrm").alias("kn"),
+        ),
+        "k_id",
+    )
+    cos4 = F.round(
+        _dot(F.col("v"), F.col("kv")) / (F.col("nrm") * F.col("kn")), 4
+    )
+    hits = (
+        assigned.join(
+            F.broadcast(pool),
+            (F.col("cell") == F.col("p_cell"))
+            & (F.col("k_id") < F.col("vec_id")),
+        )
+        .select("vec_id", "cell", "k_id", cos4.alias("cosine"))
+        .filter(F.col("cosine") >= SEMDEDUP_COS)
+    )
+    wkeep = Window.partitionBy("vec_id").orderBy("k_id")
+    return (
+        hits.withColumn("rr", F.row_number().over(wkeep))
+        .filter(F.col("rr") == 1)
+        .select("vec_id", "cell", F.col("k_id").alias("keeper_id"), "cosine")
+    )
+
+
+ORACLE_SEMDEDUP = f"""
+WITH n AS ({_DUCK_NORMED}),
+base AS (SELECT vec_id, v, nrm, {_duck_ivf_dots()} AS dots FROM n),
+assigned AS (
+  SELECT vec_id, v, nrm,
+         CAST(list_position(dots, list_max(dots)) AS INT) AS cell
+  FROM base
+),
+ranked AS (
+  SELECT vec_id, cell,
+         ROW_NUMBER() OVER (PARTITION BY cell ORDER BY vec_id) AS rn
+  FROM assigned
+),
+pool AS (
+  SELECT a.cell, a.vec_id AS k_id, a.v AS kv, a.nrm AS kn
+  FROM assigned a JOIN ranked r ON a.vec_id = r.vec_id
+  WHERE r.rn <= {SEMDEDUP_POOL}
+),
+hits AS (
+  SELECT a.vec_id, a.cell, p.k_id,
+         ROUND(list_dot_product(a.v, p.kv) / (a.nrm * p.kn), 4) AS cosine
+  FROM assigned a JOIN pool p ON a.cell = p.cell AND p.k_id < a.vec_id
+  WHERE ROUND(list_dot_product(a.v, p.kv) / (a.nrm * p.kn), 4)
+        >= {SEMDEDUP_COS}
+),
+first_keeper AS (
+  SELECT vec_id, cell, k_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY k_id) AS rr
+  FROM hits
+)
+SELECT vec_id, cell, k_id AS keeper_id, cosine
+FROM first_keeper WHERE rr = 1
+"""
+
+
 QUERIES = {
     "knn_brute_topk": q_knn_brute_topk,
     "ann_lsh_buckets": q_ann_lsh_buckets,
@@ -476,6 +599,7 @@ QUERIES = {
     "ann_ivf_topk": q_ann_ivf_topk,
     "embedding_near_dups": q_embedding_near_dups,
     "kmeans_refine": q_kmeans_refine,
+    "semdedup": q_semdedup,
 }
 
 ORACLES = {
@@ -485,4 +609,5 @@ ORACLES = {
     "ann_ivf_topk": ORACLE_ANN_IVF_TOPK,
     "embedding_near_dups": ORACLE_EMBEDDING_NEAR_DUPS,
     "kmeans_refine": ORACLE_KMEANS_REFINE,
+    "semdedup": ORACLE_SEMDEDUP,
 }

@@ -577,3 +577,50 @@ def test_domain_mixture_rebalances_toward_small_sources(spark):
         f"SELECT count(*) FROM '{SF_SMOKE}/documents.parquet'"
     ).fetchone()[0]
     assert sum(r.n_docs for r in rows) == n_docs
+
+
+# ---------------------------------------------------------------------------
+# semdedup (IVF-cell semantic dedup, keeper-pool capped)
+# ---------------------------------------------------------------------------
+
+
+def test_semdedup_plan_broadcasts_pool_and_never_shuffles_vectors(spark):
+    """The scale contract: cell assignment is map-only; the only
+    full-corpus exchange is the keeper-pool rank window over the SLIM
+    (vec_id, cell) projection; the pool (≤ cells × POOL rows) is
+    broadcast into both its vector fetch and the comparison join, so
+    the vector column never crosses a shuffle (no sort-merge join
+    anywhere); the final window shuffles surviving candidates only."""
+    from readability_py_spark.operators.similarity import q_semdedup
+
+    df = q_semdedup(spark, SF_SMOKE)
+    plan = _final_plan(df)
+    assert plan.count("broadcasthashjoin") == 2, plan
+    assert "sortmergejoin" not in plan, plan
+    assert "hashpartitioning(cell" in plan, plan  # pool-rank window
+    assert "hashpartitioning(vec_id" in plan, plan  # keeper-select window
+    # the pool-rank window reads the persisted relation through the
+    # slim 2-column projection, never the vectors
+    slim = [
+        ln
+        for ln in plan.splitlines()
+        if "inmemorytablescan" in ln and " v#" not in ln and "kv" not in ln
+    ]
+    assert slim, plan
+
+
+def test_semdedup_drop_semantics(spark):
+    """Every dropped row names an earlier-id keeper in the same cell at
+    or above the threshold, and a vec_id is dropped at most once (the
+    keeper is the minimal qualifying pool member)."""
+    from readability_py_spark.operators.similarity import (
+        SEMDEDUP_COS,
+        q_semdedup,
+    )
+
+    rows = q_semdedup(spark, SF_SMOKE).collect()
+    assert rows  # non-degenerate at the smoke SF
+    assert all(r.keeper_id < r.vec_id for r in rows)
+    assert all(r.cosine >= SEMDEDUP_COS for r in rows)
+    ids = [r.vec_id for r in rows]
+    assert len(ids) == len(set(ids))
