@@ -83,6 +83,7 @@ HEADLINE = [
     "bm25_search",
     "domain_mixture",
     "semdedup",
+    "bpe_merge_step",
     "extract_articles",
 ]
 

@@ -167,6 +167,10 @@ LOCAL_ONLY = {
     # SemDeDup-style semantic dedup: IVF-cell assign + within-cell
     # keeper-pool cosine drop — oracle-paired, rotation candidate r7
     "semdedup",
+    # one distributed BPE merge step (tokenizer-training primitive:
+    # corpus word-freq pass + vocab-side pair count, top-N merges) —
+    # oracle-paired, rotation candidate r7
+    "bpe_merge_step",
 }
 
 

@@ -233,12 +233,87 @@ GROUP BY f.doc_id
 """
 
 
+BPE_TOP_MERGES = 50
+# BPE end-of-word marker (Sennrich et al. 2016): a symbol appended to
+# every word so merges can distinguish word-final from word-internal
+# pairs. One non-text char keeps the substring pair math trivial.
+BPE_EOW = "~"
+
+
+def q_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One distributed BPE merge step (Sennrich et al. 2016, "Neural
+    Machine Translation of Rare Words with Subword Units"): the
+    top-N candidate merges by corpus pair frequency, over initial
+    character symbols with the end-of-word marker appended.
+
+    This is the tokenizer-training primitive the same way
+    q_kmeans_refine is the IVF-build primitive: production BPE loops
+    the driver over steps, each step a pure DataFrame job — count
+    adjacent symbol pairs weighted by word frequency, take the argmax,
+    apply the merge to the (small) word table, repeat. The expensive
+    corpus pass happens ONCE (the word-frequency aggregation); every
+    subsequent step runs on the vocabulary relation, which is orders
+    of magnitude smaller than the corpus and shrinks no further.
+
+    Plan shape at 100 TB: corpus explode → one (word) partial-agg
+    shuffle (map-side combined, output = the vocabulary, sublinear in
+    the corpus) → in-row pair explode over the vocab → one tiny (pair)
+    partial-agg shuffle → TakeOrderedAndProject top-N (never a global
+    sort). Deterministic tie-break: count desc, pair asc."""
+    docs = maybe_parallelize(load_table(spark, sf_dir, "documents"), spark)
+    toks = docs.select(
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("w")
+    ).filter(F.length("w") >= 1)
+    words = (
+        toks.select(F.concat(F.col("w"), F.lit(BPE_EOW)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    pairs = words.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1),"
+                   " i -> substring(w, i, 2))")
+        ).alias("pair"),
+        "freq",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("freq").alias("pair_count"))
+        .orderBy(F.desc("pair_count"), F.asc("pair"))
+        .limit(BPE_TOP_MERGES)
+    )
+
+
+ORACLE_BPE_MERGE_STEP = f"""
+WITH toks AS (
+  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+  FROM documents
+),
+words AS (
+  SELECT w || '{BPE_EOW}' AS w, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM toks WHERE len(w) >= 1 GROUP BY w || '{BPE_EOW}'
+),
+pairs AS (
+  SELECT unnest(list_transform(range(1, len(w)),
+                               i -> substr(w, CAST(i AS INT), 2))) AS pair,
+         freq
+  FROM words
+)
+SELECT pair, CAST(SUM(freq) AS BIGINT) AS pair_count
+FROM pairs GROUP BY pair
+ORDER BY pair_count DESC, pair ASC
+LIMIT {BPE_TOP_MERGES}
+"""
+
+
 QUERIES = {
     "ngram_lm_score": q_ngram_lm_score,
     "dsir_importance": q_dsir_importance,
+    "bpe_merge_step": q_bpe_merge_step,
 }
 
 ORACLES = {
     "ngram_lm_score": ORACLE_NGRAM_LM_SCORE,
     "dsir_importance": ORACLE_DSIR_IMPORTANCE,
+    "bpe_merge_step": ORACLE_BPE_MERGE_STEP,
 }

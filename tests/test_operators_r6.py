@@ -624,3 +624,32 @@ def test_semdedup_drop_semantics(spark):
     assert all(r.cosine >= SEMDEDUP_COS for r in rows)
     ids = [r.vec_id for r in rows]
     assert len(ids) == len(set(ids))
+
+
+# ---------------------------------------------------------------------------
+# bpe_merge_step (distributed BPE tokenizer-training primitive)
+# ---------------------------------------------------------------------------
+
+
+def test_bpe_merge_step_plan_and_semantics(spark):
+    """Top-k is TakeOrderedAndProject (never a global sort); the only
+    exchanges are the word-freq and pair partial-aggs. Output: every
+    merge candidate is a 2-char symbol pair, counts are positive and
+    non-increasing, and word-final pairs (end-of-word marker) exist."""
+    from readability_py_spark.operators.lm import (
+        BPE_EOW,
+        BPE_TOP_MERGES,
+        q_bpe_merge_step,
+    )
+
+    df = q_bpe_merge_step(spark, SF_SMOKE)
+    plan = _final_plan(df)
+    assert "takeorderedandproject" in plan, plan
+    assert plan.count("exchange hashpartitioning") <= 2, plan
+    rows = df.collect()
+    assert 0 < len(rows) <= BPE_TOP_MERGES
+    assert all(len(r.pair) == 2 for r in rows)
+    counts = [r.pair_count for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    assert all(c > 0 for c in counts)
+    assert any(r.pair.endswith(BPE_EOW) for r in rows)
