@@ -84,6 +84,7 @@ HEADLINE = [
     "domain_mixture",
     "semdedup",
     "bpe_merge_step",
+    "url_blocklist",
     "extract_articles",
 ]
 

@@ -171,6 +171,9 @@ LOCAL_ONLY = {
     # corpus word-freq pass + vocab-side pair count, top-N merges) —
     # oracle-paired, rotation candidate r7
     "bpe_merge_step",
+    # UT1-style host-blocklist + path-keyword policy gate over
+    # canonical urls — oracle-paired, rotation candidate for r7
+    "url_blocklist",
 }
 
 

@@ -142,5 +142,90 @@ FROM documents
 """
 
 
-QUERIES = {"url_normalize": q_url_normalize}
-ORACLES = {"url_normalize": ORACLE_URL_NORMALIZE}
+# ---------------------------------------------------------------------------
+# URL blocklist filtering (UT1-style policy gate)
+# ---------------------------------------------------------------------------
+
+# A real ingest front-gates the crawl with host blocklists (the UT1 /
+# Blacklists-UT-Capitole pattern RefinedWeb/FineWeb document: ~4M
+# hosts) plus path-keyword rules. Hosts here include live synthetic
+# sources so the gate has non-trivial hits at every SF.
+BLOCKED_HOSTS = [
+    "src3.example.com",
+    "src7.example.com",
+    "src13.example.com",
+    "tracker.adnet.example",
+    "malware.bad.example",
+]
+# path-keyword channel: matched against the canonical path+query
+BLOCK_PATH_RE = r"/Docs/[0-9]*7\.html|/ads/|casino"
+_HOST_RE = r"^[a-z][a-z0-9+.-]*://([^/:?#]+)"
+
+
+def q_url_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Policy filter over canonical urls: a doc is blocked when its
+    host is on the blocklist (domain channel) or its path matches a
+    keyword rule (keyword channel); domain wins the reason.
+
+    Scale shape: normalization + host/path extraction are map-only
+    regex; the blocklist joins as a BROADCAST left join on host (at
+    production size — millions of hosts — it is still a few hundred MB
+    of strings, the canonical broadcast-dimension case; never a
+    shuffle of the corpus), and the keyword rule is an in-row rlike.
+    Zero exchanges of document rows end to end."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = normalize_url(_messy_url())
+    base = (
+        docs.select("doc_id", norm.alias("norm_url"))
+        .withColumn("host", F.regexp_extract("norm_url", _HOST_RE, 1))
+        .withColumn("path", F.regexp_replace("norm_url", _AUTH, ""))
+    )
+    bl = spark.createDataFrame(
+        [(h,) for h in BLOCKED_HOSTS], "bl_host string"
+    )
+    reason = F.when(F.col("bl_host").isNotNull(), F.lit("domain")).when(
+        F.col("path").rlike(BLOCK_PATH_RE), F.lit("keyword")
+    )
+    return (
+        base.join(F.broadcast(bl), base.host == F.col("bl_host"), "left")
+        .select(
+            "doc_id",
+            "host",
+            reason.isNotNull().alias("blocked"),
+            reason.alias("reason"),
+        )
+    )
+
+
+_DUCK_BL = ", ".join(f"('{h}')" for h in BLOCKED_HOSTS)
+
+ORACLE_URL_BLOCKLIST = f"""
+WITH u AS (
+  SELECT doc_id, {_duck_normalize(_DUCK_MESSY)} AS norm_url FROM documents
+),
+b AS (
+  SELECT doc_id,
+         regexp_extract(norm_url, '{_HOST_RE}', 1) AS host,
+         regexp_replace(norm_url, '{_DUCK_AUTH}', '', 'g') AS path
+  FROM u
+),
+bl(bl_host) AS (VALUES {_DUCK_BL}),
+j AS (SELECT b.*, bl.bl_host FROM b LEFT JOIN bl ON b.host = bl.bl_host)
+SELECT doc_id, host,
+       (bl_host IS NOT NULL OR regexp_matches(path, '{BLOCK_PATH_RE}'))
+         AS blocked,
+       CASE WHEN bl_host IS NOT NULL THEN 'domain'
+            WHEN regexp_matches(path, '{BLOCK_PATH_RE}') THEN 'keyword'
+       END AS reason
+FROM j
+"""
+
+
+QUERIES = {
+    "url_normalize": q_url_normalize,
+    "url_blocklist": q_url_blocklist,
+}
+ORACLES = {
+    "url_normalize": ORACLE_URL_NORMALIZE,
+    "url_blocklist": ORACLE_URL_BLOCKLIST,
+}

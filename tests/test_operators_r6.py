@@ -653,3 +653,31 @@ def test_bpe_merge_step_plan_and_semantics(spark):
     assert counts == sorted(counts, reverse=True)
     assert all(c > 0 for c in counts)
     assert any(r.pair.endswith(BPE_EOW) for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# url_blocklist (UT1-style policy gate)
+# ---------------------------------------------------------------------------
+
+
+def test_url_blocklist_plan_and_channels(spark):
+    """The blocklist joins broadcast (never a corpus shuffle: no
+    hashpartitioning anywhere — the whole gate is map-side), and both
+    channels fire at the smoke SF: domain blocks, keyword blocks, and
+    unblocked docs all present; domain wins the reason on overlap."""
+    from readability_py_spark.operators.urls import (
+        BLOCKED_HOSTS,
+        q_url_blocklist,
+    )
+
+    df = q_url_blocklist(spark, SF_SMOKE)
+    plan = _final_plan(df)
+    assert "broadcasthashjoin" in plan, plan
+    assert "hashpartitioning" not in plan, plan
+    rows = df.collect()
+    reasons = {r.reason for r in rows}
+    assert reasons == {None, "domain", "keyword"}, reasons
+    assert all((r.reason is not None) == r.blocked for r in rows)
+    for r in rows:
+        if r.host in set(BLOCKED_HOSTS):
+            assert r.reason == "domain", r
