@@ -85,6 +85,7 @@ HEADLINE = [
     "semdedup",
     "bpe_merge_step",
     "url_blocklist",
+    "unicode_nfc",
     "extract_articles",
 ]
 

@@ -174,6 +174,10 @@ LOCAL_ONLY = {
     # UT1-style host-blocklist + path-keyword policy gate over
     # canonical urls — oracle-paired, rotation candidate for r7
     "url_blocklist",
+    # Unicode NFC canonicalization (Arrow-vectorized pandas_udf; the
+    # pre-hashing text normalization step) — oracle-paired vs DuckDB
+    # nfc_normalize, rotation candidate for r7
+    "unicode_nfc",
 }
 
 

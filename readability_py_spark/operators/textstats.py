@@ -10,6 +10,7 @@ the per-document extraction equivalents run inside the Arrow UDF.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1201,7 +1202,87 @@ GROUP BY l.doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Unicode NFC normalization (pre-fingerprinting canonical text form)
+# ---------------------------------------------------------------------------
+
+# Every hash-keyed operator upstream (dedup, decontamination,
+# winnowing) assumes ONE byte form per logical text: "café" as
+# e+COMBINING ACUTE and as precomposed U+00E9 must collapse before
+# any md5/xxhash sees them. The corpus testdata is pure ASCII, so the
+# query injects deterministic decomposed/precomposed forms per doc_id
+# residue — both dialects build the identical messy strings.
+_NFC_COMBINING_ACUTE = "́"
+_NFC_PRECOMPOSED_E = "é"
+
+
+def q_unicode_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NFC-normalize document text (the canonicalization step before
+    any fingerprint/dedup hashing), reporting per doc whether the text
+    changed, codepoint counts before/after, and the normalized md5.
+
+    This is the one text operator where Python is genuinely
+    unavoidable — Spark SQL has no Unicode-normalization expression —
+    so it runs as an Arrow-vectorized scalar pandas_udf (one Arrow
+    crossing, map-only, zero shuffle; NEVER a row-at-a-time Python
+    UDF). The DuckDB twin replays the identical injection and uses
+    its native nfc_normalize (verified char-for-char equal to
+    Python's unicodedata NFC on the injected forms).
+
+    Injection: doc_id%3==0 decomposes every 'e' to e+U+0301 (NFC
+    recomposes → changed, codepoints shrink); %3==1 swaps 'a' for
+    precomposed U+00E9 (already NFC → unchanged); else raw ASCII
+    (unchanged). LOCAL_ONLY; oracle-paired locally."""
+    @F.pandas_udf("string")
+    def _nfc(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return s.map(lambda x: unicodedata.normalize("NFC", x))
+
+    docs = maybe_parallelize(load_table(spark, sf_dir, "documents"), spark)
+    d = F.col("doc_id")
+    messy = (
+        F.when(
+            d % 3 == 0,
+            F.replace(F.col("text"), F.lit("e"), F.lit("e" + _NFC_COMBINING_ACUTE)),
+        )
+        .when(
+            d % 3 == 1,
+            F.replace(F.col("text"), F.lit("a"), F.lit(_NFC_PRECOMPOSED_E)),
+        )
+        .otherwise(F.col("text"))
+    )
+    m = docs.select("doc_id", messy.alias("messy"))
+    n = m.select("doc_id", "messy", _nfc(F.col("messy")).alias("norm"))
+    return n.select(
+        "doc_id",
+        (F.col("messy") != F.col("norm")).alias("changed"),
+        F.length("messy").cast("long").alias("n_before"),
+        F.length("norm").cast("long").alias("n_after"),
+        F.md5(F.encode("norm", "utf-8")).alias("norm_key"),
+    )
+
+
+ORACLE_UNICODE_NFC = """
+WITH m AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN replace(text, 'e', 'e' || chr(769))
+              WHEN doc_id % 3 = 1 THEN replace(text, 'a', chr(233))
+              ELSE text END AS messy
+  FROM documents
+),
+n AS (SELECT doc_id, messy, nfc_normalize(messy) AS norm FROM m)
+SELECT doc_id,
+       (messy <> norm) AS changed,
+       CAST(length(messy) AS BIGINT) AS n_before,
+       CAST(length(norm) AS BIGINT) AS n_after,
+       md5(norm) AS norm_key
+FROM n
+"""
+
+
 QUERIES = {
+    "unicode_nfc": q_unicode_nfc,
     "winnow_fingerprint": q_winnow_fingerprint,
     "boilerplate_lines": q_boilerplate_lines,
     "decontaminate_bloom": q_decontaminate_bloom,
@@ -1219,6 +1300,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "unicode_nfc": ORACLE_UNICODE_NFC,
     "winnow_fingerprint": ORACLE_WINNOW_FINGERPRINT,
     "boilerplate_lines": ORACLE_BOILERPLATE_LINES,
     "winnow_dup_candidates": ORACLE_WINNOW_DUP_CANDIDATES,

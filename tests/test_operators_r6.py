@@ -681,3 +681,28 @@ def test_url_blocklist_plan_and_channels(spark):
     for r in rows:
         if r.host in set(BLOCKED_HOSTS):
             assert r.reason == "domain", r
+
+
+# ---------------------------------------------------------------------------
+# unicode_nfc (Arrow-vectorized NFC canonicalization)
+# ---------------------------------------------------------------------------
+
+
+def test_unicode_nfc_channels_and_plan(spark):
+    """Map-only Arrow-UDF plan (ArrowEvalPython, zero exchanges on a
+    pre-split input is covered by the maybe_parallelize gate tests) —
+    and all three injection channels behave: decomposed docs change
+    and SHRINK to their precomposed codepoint count, precomposed and
+    raw-ASCII docs pass through unchanged."""
+    from readability_py_spark.operators.textstats import q_unicode_nfc
+
+    df = q_unicode_nfc(spark, SF_SMOKE)
+    plan = _final_plan(df)
+    assert "arrowevalpython" in plan, plan
+    rows = df.collect()
+    assert rows
+    for r in rows:
+        if r.doc_id % 3 == 0:
+            assert r.changed and r.n_after < r.n_before, r
+        else:
+            assert not r.changed and r.n_after == r.n_before, r
