@@ -86,6 +86,8 @@ HEADLINE = [
     "bpe_merge_step",
     "url_blocklist",
     "unicode_nfc",
+    "vocab_cardinality",
+    "vocab_cardinality_approx",
     "extract_articles",
 ]
 

@@ -178,6 +178,11 @@ LOCAL_ONLY = {
     # pre-hashing text normalization step) — oracle-paired vs DuckDB
     # nfc_normalize, rotation candidate for r7
     "unicode_nfc",
+    # count-distinct aggregation face (exact oracle anchor) + its
+    # HLL++ sketch twin (rows-only; pytest error-bound contract, the
+    # price_quartiles_approx pattern) — rotation candidates for r7
+    "vocab_cardinality",
+    "vocab_cardinality_approx",
 }
 
 

@@ -1281,8 +1281,67 @@ FROM n
 """
 
 
+# ---------------------------------------------------------------------------
+# Vocabulary cardinality (exact count-distinct + HLL sketch twin)
+# ---------------------------------------------------------------------------
+
+
+def q_vocab_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct-token count per language — the count-distinct
+    aggregation face (corpus data-card statistics: vocabulary size and
+    token volume by language).
+
+    Scale shape: Spark plans COUNT(DISTINCT) as a two-phase expand —
+    partial per-partition dedup, then the (lang, tok) shuffle carries
+    only already-locally-distinct pairs. The exact form is the oracle
+    anchor; `vocab_cardinality_approx` is the production path at
+    100 TB (HLL buffers merge map-side, the shuffle carries one sketch
+    per group instead of the pair stream)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang", F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("tok")
+    ).filter(F.col("tok") != "")
+    return toks.groupBy("lang").agg(
+        F.countDistinct("tok").alias("n_vocab"),
+        F.count(F.lit(1)).alias("n_tokens"),
+    )
+
+
+ORACLE_VOCAB_CARDINALITY = """
+SELECT lang,
+       CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_vocab,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens
+FROM (
+  SELECT lang,
+         unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+  FROM documents
+) WHERE tok <> ''
+GROUP BY lang
+"""
+
+
+def q_vocab_cardinality_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ twin of q_vocab_cardinality (rows-only: DuckDB's
+    approx sketch is a different estimator, so there is no value-hash
+    twin — the pytest error-bound contract vs the exact query is the
+    verification, same pattern as price_quartiles_approx). At 100 TB
+    this is THE way to count distinct urls/hosts/tokens: the sketch
+    merges map-side and the shuffle carries one fixed-size buffer per
+    group instead of the distinct pair stream."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang", F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("tok")
+    ).filter(F.col("tok") != "")
+    return toks.groupBy("lang").agg(
+        F.approx_count_distinct("tok", rsd=0.02).alias("n_vocab_approx"),
+        F.count(F.lit(1)).alias("n_tokens"),
+    )
+
+
 QUERIES = {
     "unicode_nfc": q_unicode_nfc,
+    "vocab_cardinality": q_vocab_cardinality,
+    "vocab_cardinality_approx": q_vocab_cardinality_approx,
     "winnow_fingerprint": q_winnow_fingerprint,
     "boilerplate_lines": q_boilerplate_lines,
     "decontaminate_bloom": q_decontaminate_bloom,
@@ -1301,6 +1360,7 @@ QUERIES = {
 
 ORACLES = {
     "unicode_nfc": ORACLE_UNICODE_NFC,
+    "vocab_cardinality": ORACLE_VOCAB_CARDINALITY,
     "winnow_fingerprint": ORACLE_WINNOW_FINGERPRINT,
     "boilerplate_lines": ORACLE_BOILERPLATE_LINES,
     "winnow_dup_candidates": ORACLE_WINNOW_DUP_CANDIDATES,

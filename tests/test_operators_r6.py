@@ -706,3 +706,30 @@ def test_unicode_nfc_channels_and_plan(spark):
             assert r.changed and r.n_after < r.n_before, r
         else:
             assert not r.changed and r.n_after == r.n_before, r
+
+
+# ---------------------------------------------------------------------------
+# vocab_cardinality (+ HLL sketch twin)
+# ---------------------------------------------------------------------------
+
+
+def test_vocab_cardinality_approx_error_bound(spark):
+    """The sketch contract (the price_quartiles_approx pattern): the
+    HLL++ estimate tracks the exact distinct count within a small
+    relative error at rsd=0.02 (3x headroom on the configured rsd),
+    and the non-sketch column (n_tokens) is exactly equal."""
+    from readability_py_spark.operators.textstats import (
+        q_vocab_cardinality,
+        q_vocab_cardinality_approx,
+    )
+
+    exact = {r.lang: r for r in q_vocab_cardinality(spark, SF_SMOKE).collect()}
+    approx = {
+        r.lang: r for r in q_vocab_cardinality_approx(spark, SF_SMOKE).collect()
+    }
+    assert set(exact) == set(approx) and len(exact) >= 3
+    for lang, e in exact.items():
+        a = approx[lang]
+        assert a.n_tokens == e.n_tokens
+        rel = abs(a.n_vocab_approx - e.n_vocab) / e.n_vocab
+        assert rel <= 0.06, (lang, e.n_vocab, a.n_vocab_approx, rel)
