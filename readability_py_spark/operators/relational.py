@@ -66,7 +66,21 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             _dsum("l_quantity").alias("sum_qty"),
             _dsum("l_extendedprice").alias("sum_base_price"),
-            F.sum(dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - dec("l_discount")))
+            # ROUND the exact decimal to scale 4 BEFORE the double
+            # cast: a scale-8 product sum's unscaled value passes 2^53
+            # at sf0.1 magnitudes, and DuckDB's decimal→double goes
+            # int128→double→÷10^8 (double-rounded) while Spark's
+            # BigDecimal converts correctly-rounded — one ulp apart
+            # (caught by tools/oracle_sweep.py at sf0.1). At scale 4
+            # the unscaled value fits 2^53 and both conversions are
+            # exact-rational→nearest-double.
+            F.round(
+                F.sum(
+                    dec("l_extendedprice")
+                    * (F.lit(1).cast("decimal(18,4)") - dec("l_discount"))
+                ),
+                4,
+            )
             .cast("double")
             .alias("sum_disc_price"),
             F.count(F.lit(1)).alias("count_order"),
@@ -81,8 +95,8 @@ WITH base AS (
   SELECT l_returnflag, l_linestatus,
          CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
-              * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+         CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+              * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 4) AS DOUBLE)
            AS sum_disc_price,
          COUNT(*) AS count_order
   FROM lineitem
@@ -685,7 +699,16 @@ def q_top_parts_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = (
         li.groupBy("l_partkey")
         .agg(
-            F.sum(dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - dec("l_discount")))
+            # round-before-cast: same scale-8 decimal→double
+            # double-rounding hazard as pricing_summary (and revenue
+            # is an ORDERING key here — a one-ulp flip could reorder)
+            F.round(
+                F.sum(
+                    dec("l_extendedprice")
+                    * (F.lit(1).cast("decimal(18,4)") - dec("l_discount"))
+                ),
+                4,
+            )
             .cast("double")
             .alias("revenue")
         )
@@ -701,8 +724,8 @@ def q_top_parts_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_TOP_PARTS_BY_REVENUE = """
 WITH rev AS (
   SELECT l_partkey,
-         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
-              * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+         CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+              * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 4) AS DOUBLE) AS revenue
   FROM lineitem GROUP BY l_partkey
 )
 SELECT p_partkey, p_name, revenue
