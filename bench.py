@@ -88,6 +88,7 @@ HEADLINE = [
     "unicode_nfc",
     "vocab_cardinality",
     "vocab_cardinality_approx",
+    "pdf_text_extract",
     "extract_articles",
 ]
 

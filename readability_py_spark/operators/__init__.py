@@ -183,6 +183,10 @@ LOCAL_ONLY = {
     # price_quartiles_approx pattern) — rotation candidates for r7
     "vocab_cardinality",
     "vocab_cardinality_approx",
+    # PDF layout parse (the north rule's PDF face): version + page
+    # census + Tj text extraction over synthesized valid minimal PDFs,
+    # all JVM regex — oracle-paired, rotation candidate for r7
+    "pdf_text_extract",
 }
 
 

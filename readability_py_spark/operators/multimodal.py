@@ -468,11 +468,105 @@ def resize_dims(w: F.Column, h: F.Column, target: int = 224):
     return new_w, new_h
 
 
+# ---------------------------------------------------------------------------
+# PDF layout parse (the north rule's "PDF/layout parse" face)
+# ---------------------------------------------------------------------------
+
+
+def q_pdf_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parse synthesized VALID minimal PDFs from a binary payload
+    column: header version, page count (/Type /Page object census),
+    and the text content (every `(...) Tj` show-text operator, in
+    document order) — the PDF face of main-content extraction, same
+    pattern as q_media_decode_headers (synthesize real bytes
+    deterministically, parse them by an INDEPENDENT method, verify
+    against a DuckDB twin running the identical parse).
+
+    The whole parse is JVM-side regex over the decoded byte stream —
+    map-only, zero shuffle, no Python (PDF's text operators are a
+    textual syntax, so unlike pixel decode this needs no external
+    lib). Page-count census avoids RE2-unsupported lookahead by
+    counting '/Type /Page' minus '/Type /Pages' in both dialects.
+    Corpus: doc_id%3+1 pages, version 1.4/1.7 by parity. LOCAL_ONLY;
+    oracle-paired locally."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    n = (d % 3 + 1).cast("int")
+    ver = F.when(d % 2 == 0, F.lit("1.4")).otherwise(F.lit("1.7"))
+    pages = F.array_join(
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.concat(
+                F.lit("<< /Type /Page >> BT /F1 12 Tf (Doc "),
+                d.cast("string"),
+                F.lit(" page "),
+                i.cast("string"),
+                F.lit(") Tj ET\n"),
+            ),
+        ),
+        "",
+    )
+    synth = F.concat(
+        F.lit("%PDF-"),
+        ver,
+        F.lit("\n<< /Type /Catalog >>\n<< /Type /Pages /Count "),
+        n.cast("string"),
+        F.lit(" >>\n"),
+        pages,
+        F.lit("trailer\n%%EOF"),
+    )
+    payload = F.encode(synth, "utf-8")  # the binary column a real scan has
+    txt = F.decode(F.col("payload"), "UTF-8")
+    return docs.select("doc_id", payload.alias("payload")).select(
+        "doc_id",
+        F.regexp_extract(txt, r"^%PDF-([0-9]\.[0-9])", 1).alias("pdf_version"),
+        (
+            F.regexp_count(txt, F.lit(r"/Type /Page"))
+            - F.regexp_count(txt, F.lit(r"/Type /Pages"))
+        ).cast("int").alias("n_pages"),
+        F.octet_length("payload").cast("long").alias("n_bytes"),
+        F.array_join(
+            F.regexp_extract_all(txt, F.lit(r"\(([^)]*)\) Tj"), 1), " "
+        ).alias("text"),
+    )
+
+
+ORACLE_PDF_TEXT_EXTRACT = r"""
+WITH synth AS (
+  SELECT doc_id,
+         encode(
+           '%PDF-' || CASE WHEN doc_id % 2 = 0 THEN '1.4' ELSE '1.7' END
+           || chr(10) || '<< /Type /Catalog >>' || chr(10)
+           || '<< /Type /Pages /Count ' || CAST(doc_id % 3 + 1 AS VARCHAR)
+           || ' >>' || chr(10)
+           || array_to_string(
+                list_transform(range(1, CAST(doc_id % 3 + 1 AS INT) + 1),
+                  i -> '<< /Type /Page >> BT /F1 12 Tf (Doc '
+                       || CAST(doc_id AS VARCHAR) || ' page '
+                       || CAST(i AS VARCHAR) || ') Tj ET' || chr(10)), '')
+           || 'trailer' || chr(10) || '%%EOF'
+         ) AS payload
+  FROM documents
+),
+parsed AS (SELECT doc_id, payload, decode(payload) AS txt FROM synth)
+SELECT doc_id,
+       regexp_extract(txt, '^%PDF-([0-9]\.[0-9])', 1) AS pdf_version,
+       CAST(len(regexp_extract_all(txt, '/Type /Page'))
+            - len(regexp_extract_all(txt, '/Type /Pages')) AS INT) AS n_pages,
+       CAST(octet_length(payload) AS BIGINT) AS n_bytes,
+       array_to_string(regexp_extract_all(txt, '\(([^)]*)\) Tj', 1), ' ')
+         AS text
+FROM parsed
+"""
+
+
 QUERIES = {
     "media_decode_stub": q_media_decode_stub,
     "media_decode_headers": q_media_decode_headers,
+    "pdf_text_extract": q_pdf_text_extract,
 }
 ORACLES = {
     "media_decode_stub": ORACLE_MEDIA_DECODE_STUB,
     "media_decode_headers": ORACLE_MEDIA_DECODE_HEADERS,
+    "pdf_text_extract": ORACLE_PDF_TEXT_EXTRACT,
 }

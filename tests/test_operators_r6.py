@@ -733,3 +733,30 @@ def test_vocab_cardinality_approx_error_bound(spark):
         assert a.n_tokens == e.n_tokens
         rel = abs(a.n_vocab_approx - e.n_vocab) / e.n_vocab
         assert rel <= 0.06, (lang, e.n_vocab, a.n_vocab_approx, rel)
+
+
+# ---------------------------------------------------------------------------
+# pdf_text_extract (PDF layout parse face)
+# ---------------------------------------------------------------------------
+
+
+def test_pdf_text_extract_parse_semantics(spark):
+    """Map-only plan (no exchange of any kind) and real parse
+    semantics: page census matches the synthesis arithmetic, the
+    extracted text carries one show-text per page in document order,
+    and version tracks doc parity."""
+    from readability_py_spark.operators.multimodal import q_pdf_text_extract
+
+    df = q_pdf_text_extract(spark, SF_SMOKE)
+    plan = _final_plan(df)
+    assert "exchange" not in plan, plan
+    rows = df.collect()
+    assert rows
+    for r in rows:
+        want_pages = r.doc_id % 3 + 1
+        assert r.n_pages == want_pages, r
+        assert r.pdf_version == ("1.4" if r.doc_id % 2 == 0 else "1.7"), r
+        assert r.text.count(" page ") == want_pages, r
+        for i in range(1, want_pages + 1):
+            assert f"Doc {r.doc_id} page {i}" in r.text, r
+        assert r.n_bytes > 80
