@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..session import load_table
+from ..session import load_table, maybe_parallelize
 
 PACK_WINDOW = 2048  # tokens per packed context window
 PACK_BUCKETS = 32  # independent packing streams (shuffle width)
@@ -193,8 +193,10 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     <IP>) with per-doc redaction counts. Map-only: counts and
     replacements are JVM regexp expressions fused into the scan stage;
     scrub order is email → IP → phone so no pattern sees another's
-    placeholder."""
-    docs = load_table(spark, sf_dir, "documents")
+    placeholder. Gated parallelizer (r7): six regexp passes per row ran
+    serially on the single-split testdata scan; exchange-free on a
+    multi-split input."""
+    docs = maybe_parallelize(load_table(spark, sf_dir, "documents"), spark)
     p = _pii_text()
     scrubbed = F.regexp_replace(
         F.regexp_replace(

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..session import load_table
+from ..session import load_table, maybe_parallelize
 
 
 def _dsum(col: str) -> F.Column:
@@ -587,13 +587,37 @@ FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
 
 def q_price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact (interpolated) percentiles — both engines sort + linear
-    interpolation, so values match bit-for-bit after round(4)."""
-    li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.expr("percentile(l_extendedprice, 0.25)"), 4).alias("p25"),
-        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
-        F.round(F.expr("percentile(l_extendedprice, 0.75)"), 4).alias("p75"),
-        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90"),
+    interpolation, so values match bit-for-bit after round(4).
+
+    r7: the four percentiles come from ONE ``percentile(col, array(…))``
+    aggregate instead of four independent ``percentile`` calls. Each
+    call maintains its own value→count OpenHashMap over every input row
+    and merges/sorts it per group at eval time; the array form builds
+    that buffer once and interpolates all four points from the same
+    sorted counts — identical algorithm, identical values, a quarter of
+    the aggregation work (23.2 s → see OPTIMIZATION_r07.md at sf1.0).
+
+    The scan goes through maybe_parallelize: percentile's per-row
+    update is a value→count hash insert (ObjectHashAggregate, no
+    codegen), and the sf1.0 lineitem parquet is a single 126 MB input
+    split — the whole 6M-row update pass ran on ONE core. The exact
+    percentile's merged map is partition-order independent, so the
+    round-robin exchange cannot change the result; on a multi-split
+    production scan the gate is off."""
+    li = maybe_parallelize(load_table(spark, sf_dir, "lineitem"), spark)
+    pcts = F.expr(
+        "percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D, 0.9D))"
+    )
+    return (
+        li.groupBy("l_returnflag")
+        .agg(pcts.alias("pcts"))
+        .select(
+            "l_returnflag",
+            F.round(F.element_at("pcts", 1), 4).alias("p25"),
+            F.round(F.element_at("pcts", 2), 4).alias("p50"),
+            F.round(F.element_at("pcts", 3), 4).alias("p75"),
+            F.round(F.element_at("pcts", 4), 4).alias("p90"),
+        )
     )
 
 

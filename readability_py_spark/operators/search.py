@@ -37,7 +37,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..session import load_table
+from ..session import load_table, maybe_parallelize
 
 QUERY_TERMS = ("spark", "join", "window")
 BM25_K1 = 1.2
@@ -62,21 +62,36 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan shape: per-doc (dl, tf_i) projection fused into the scan;
     one 1-row stats aggregate (N, avgdl, df_i) broadcast back via
     crossJoin; score in-row; TakeOrderedAndProject for the top-k.
+
+    r7: the per-doc (dl, tf_i) relation is eager-persisted — it feeds
+    BOTH the stats aggregate and the scoring side (the multi-reference
+    rule), so the tokenize + per-term tf pass over the corpus runs
+    once instead of twice; and the scan goes through maybe_parallelize
+    (the split + three filter folds ran serially on the single-split
+    testdata scan — the r5 serial-projection class; exchange-free on a
+    multi-split input). The cached relation is five ints per doc —
+    at production scale this is the df/doclen side-index a search
+    system maintains anyway.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    from .dedup import _persist
+
+    docs = maybe_parallelize(load_table(spark, sf_dir, "documents"), spark)
     t = docs.select(
         "doc_id",
         F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("ws"),
     )
-    f = t.select(
-        "doc_id",
-        F.size("ws").cast("bigint").alias("dl"),
-        *[
-            F.expr(f"CAST(size(filter(ws, x -> x = '{q}')) AS BIGINT)").alias(
-                f"tf{i}"
-            )
-            for i, q in enumerate(QUERY_TERMS)
-        ],
+    f = _persist(
+        t.select(
+            "doc_id",
+            F.size("ws").cast("bigint").alias("dl"),
+            *[
+                F.expr(
+                    f"CAST(size(filter(ws, x -> x = '{q}')) AS BIGINT)"
+                ).alias(f"tf{i}")
+                for i, q in enumerate(QUERY_TERMS)
+            ],
+        ),
+        eager=True,
     )
     stats = f.agg(
         F.count("*").cast("bigint").alias("n_docs"),

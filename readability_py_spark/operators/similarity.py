@@ -21,7 +21,7 @@ import numpy as np
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..session import load_table
+from ..session import load_table, maybe_parallelize
 
 DIM = 64
 N_PLANES = 4
@@ -69,7 +69,15 @@ def _duck_lit(vals: list[float]) -> str:
 
 
 def _normed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    """embeddings + double-cast vector + norm. The scan goes through
+    maybe_parallelize (r7): every consumer stacks CPU-heavy vector
+    expressions (64-dim dot folds per hyperplane/centroid) directly on
+    this projection, and the testdata embeddings parquet is one
+    unsplittable split — without the gate the whole build ran on one
+    core (the r5 serial-projection class; measured as the bulk of
+    embedding_near_dups' 29 s at sf1.0). On a multi-split production
+    scan the gate is off and the projection fuses into the scan."""
+    emb = maybe_parallelize(load_table(spark, sf_dir, "embeddings"), spark)
     return emb.select(
         "vec_id",
         "label",
@@ -348,13 +356,28 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     is verified on candidates only. One uniform shuffle, no all-pairs;
     recall at the threshold ≈ 0.99 (see constants above), and the
     DuckDB oracle runs the identical bucket math so the recall
-    characteristics are shared, not hidden."""
+    characteristics are shared, not hidden.
+
+    r7: the bucket relation is eager-persisted — it feeds BOTH sides
+    of the candidate self-join (the multi-reference rule), and caching
+    it keeps the 16-hyperplane × 64-dim dot-fold build to one pass
+    while giving the pair-generation probe side the cache's full
+    partitioning (the un-cached form put the probe side of the
+    broadcast join directly on the single-split scan: the entire
+    multi-million-pair generation + distinct partial aggregation ran
+    in ONE task — 27.1 s of this query's 29 s at sf1.0, bench_extra
+    ``near_dup_cand``)."""
+    from .dedup import _persist
+
     n = _normed(spark, sf_dir)
     buckets = F.array(
         *[_bucket_col(_near_dup_planes(t)) for t in range(NEAR_DUP_TABLES)]
     )
-    tb = n.select(
-        "vec_id", "label", F.posexplode(buckets).alias("t", "bucket")
+    tb = _persist(
+        n.select(
+            "vec_id", "label", F.posexplode(buckets).alias("t", "bucket")
+        ),
+        eager=True,
     )
     a, b = tb.alias("a"), tb.alias("b")
     cand = (

@@ -32,8 +32,11 @@ def _stop_pattern(lang: str) -> str:
 
 
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Whitespace tokens + BPE-ish regex tokens per document."""
-    docs = load_table(spark, sf_dir, "documents")
+    """Whitespace tokens + BPE-ish regex tokens per document. Gated
+    parallelizer (r7): the BPE regexp_count is a CPU-heavy projection
+    that ran serially on the single-split testdata scan; exchange-free
+    on a multi-split input."""
+    docs = maybe_parallelize(load_table(spark, sf_dir, "documents"), spark)
     low = F.lower(F.col("text"))
     return docs.select(
         "doc_id",
@@ -99,8 +102,10 @@ FROM h
 
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style quality features: word count, mean word length,
-    punctuation ratio, stopword ratio, and a composite score."""
-    docs = load_table(spark, sf_dir, "documents")
+    punctuation ratio, stopword ratio, and a composite score. Gated
+    parallelizer (r7): three regexp passes per row ran serially on the
+    single-split testdata scan; exchange-free on a multi-split input."""
+    docs = maybe_parallelize(load_table(spark, sf_dir, "documents"), spark)
     low = F.lower(F.col("text"))
     words = F.size(F.split(F.trim(F.col("text")), r"\s+"))
     letters = F.length(F.regexp_replace(low, r"\s+", ""))
@@ -269,9 +274,12 @@ def q_quality_gopher(
     extraction (map-only: no shuffle, runs inside the scan stage).
 
     Every rule emits its own boolean so downstream audits can count
-    rejection reasons with one aggregation; `pass` is their AND."""
+    rejection reasons with one aggregation; `pass` is their AND.
+    Gated parallelizer (r7): the per-row rule expressions (aggregate
+    fold + regexps + array filters) ran serially on the single-split
+    testdata scan; exchange-free on a multi-split input."""
     stops = TEST_CORPUS_STOPWORDS if stop_words is None else stop_words
-    docs = load_table(spark, sf_dir, "documents")
+    docs = maybe_parallelize(load_table(spark, sf_dir, "documents"), spark)
     c = gopher_flag_cols(F.col("text"), stops)
     return docs.select(
         "doc_id",
@@ -355,14 +363,21 @@ REP_DUP5_MAX = 0.15
 
 
 def gram_array(words: F.Column, n: int) -> F.Column:
-    """In-row word n-gram array (empty when the doc has < n words)."""
+    """In-row word n-gram array (empty when the doc has < n words).
+
+    The gram is ``array_join(slice(words, i, n), ' ')`` — two expression
+    nodes per gram instead of the previous ``concat_ws`` of n separate
+    ``element_at`` calls (higher-order lambdas evaluate interpreted, so
+    per-gram node count is the unit of cost; measured 12.4 s → 4 s on
+    the 13-gram decontamination build at sf1.0, bench_extra
+    ``decon_gram_build``). Output is byte-identical: ``split`` never
+    yields nulls and the ``size >= n`` guard makes every slice full
+    width, so join-with-space == concat_ws-with-space."""
     return F.when(
         F.size(words) >= n,
         F.transform(
             F.sequence(F.lit(1), F.size(words) - (n - 1)),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(words, i + j) for j in range(n)]
-            ),
+            lambda i: F.array_join(F.slice(words, i, n), " "),
         ),
     ).otherwise(F.array().cast("array<string>"))
 
@@ -556,8 +571,14 @@ def q_gopher_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-only like the scalar rules: split on newline, two in-row
     filtered counts, zero shuffles. The stats re-split the decorated
     STRING (not the construction list), and the DuckDB twin does the
-    same, so both engines decode the same bytes independently."""
-    docs = load_table(spark, sf_dir, "documents")
+    same, so both engines decode the same bytes independently.
+
+    The scan goes through maybe_parallelize (r7): the line synthesis +
+    two per-line rlike filters are CPU-heavy projections that ran
+    serially on the single-split testdata scan (13.1 s at sf1.0, the
+    r5 serial-projection class); on a multi-split production scan the
+    gate is off and the plan stays exchange-free."""
+    docs = maybe_parallelize(load_table(spark, sf_dir, "documents"), spark)
     lines = F.split(synth_line_text(), "\n")
     n = F.size(lines)
     bullets = F.size(F.filter(lines, lambda l: l.rlike(r"^[-*•] ")))
@@ -915,15 +936,14 @@ DECON_SLICE = 97  # synthetic eval set = documents with doc_id % 97 == 0
 def _gram_array(text_col, n: int) -> F.Column:
     """All n-word grams of a text column (same trim/lower/\\s+ word
     normalization as the repetition family / _duck_grams); empty array
-    below n words."""
+    below n words. Gram construction is array_join∘slice — see
+    gram_array's docstring for the byte-identity + cost argument."""
     w = F.split(F.trim(F.lower(text_col)), r"\s+")
     return F.when(
         F.size(w) >= n,
         F.transform(
             F.sequence(F.lit(1), F.size(w) - (n - 1)),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(w, i + j) for j in range(n)]
-            ),
+            lambda i: F.array_join(F.slice(w, i, n), " "),
         ),
     ).otherwise(F.array().cast("array<string>"))
 
@@ -948,32 +968,60 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     the fallback is the exploded form — corpus grams explode → BHJ
     against the eval gram set → per-doc count re-agg, which shuffles
     only MATCHED grams — or a broadcast Bloom filter in front of it.
-    The eval-side explode/distinct/sort shuffles only the tiny eval
-    slice."""
+    The eval-side explode/distinct shuffles only the tiny eval slice
+    (the doc_id filter pushes below the gate's repartition into the
+    scan, so only matching rows are exchanged and the gram build runs
+    parallel above it).
+
+    r7 optimization (guide §3.1/§2.3): the overlap count is computed by
+    EXPLODING the per-doc gram set and probing the broadcast eval-gram
+    set with a BroadcastHashJoin, then re-aggregating per doc. The
+    previous form kept the eval set as ONE array column and took
+    ``size(array_intersect(grams, evg))`` per row — which rebuilds an
+    O(|eval|) hash set for EVERY corpus document (ArrayIntersect builds
+    its lookup from the second argument per evaluation): ~1.75 billion
+    hash inserts at sf1.0, and at a real eval suite's size (millions of
+    grams) catastrophically worse. The exploded form probes a hash
+    relation built ONCE per task; the only new exchange is the per-doc
+    re-aggregation, which the map-side partial collapses to one row per
+    document BEFORE it shuffles (exploded rows of a doc are co-located
+    by construction). Results are identical: grams are distinct in-row,
+    eval grams are distinct, so join multiplicity is 0/1 per gram and
+    count(matched) == size(array_intersect). Measured 22.6 s → see
+    OPTIMIZATION_r07.md; the plan swap is pinned in
+    tests/test_operators_r5.py."""
     docs = load_table(spark, sf_dir, "documents")
     grams = F.array_distinct(_gram_array(F.col("text"), DECON_N))
     ev = (
-        docs.filter(F.col("doc_id") % DECON_SLICE == 0)
-        .select(F.explode(_gram_array(F.col("text"), DECON_N)).alias("g"))
+        maybe_parallelize(docs, spark)
+        .filter(F.col("doc_id") % DECON_SLICE == 0)
+        .select(F.explode(_gram_array(F.col("text"), DECON_N)).alias("evg"))
         .distinct()
     )
-    evarr = ev.agg(F.array_sort(F.collect_set("g")).alias("evg")).select(
-        F.lit(1).alias("k"), "evg"
-    )
-    # the gram-build PROJECTION is CPU-heavy and, unlike a Filter,
-    # never gets pushed below the gated parallelizing repartition — on
-    # the single-split testdata it otherwise runs serially (measured
-    # 41 s at sf0.1); on a real multi-split scan the gate is off and
-    # the corpus side stays exchange-free (tests/test_operators_r5.py)
     corpus = maybe_parallelize(docs, spark).select(
-        "doc_id", grams.alias("grams"), F.lit(1).alias("k")
+        "doc_id", grams.alias("grams")
     )
-    overlap = F.size(F.array_intersect(F.col("grams"), F.col("evg")))
-    return corpus.join(F.broadcast(evarr), "k").select(
+    ex = corpus.select(
         "doc_id",
         F.size("grams").alias("n_grams"),
-        overlap.alias("overlap_cnt"),
-        (overlap > 0).alias("contaminated"),
+        F.explode_outer("grams").alias("g"),
+    )
+    overlap = F.sum(
+        F.when(F.col("evg").isNotNull(), 1).otherwise(0)
+    ).cast("int")
+    return (
+        ex.join(F.broadcast(ev), ex.g == F.col("evg"), "left")
+        .groupBy("doc_id")
+        .agg(
+            F.max("n_grams").alias("n_grams"),
+            overlap.alias("overlap_cnt"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "overlap_cnt",
+            (F.col("overlap_cnt") > 0).alias("contaminated"),
+        )
     )
 
 
@@ -1033,8 +1081,14 @@ def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
             for seed in range(BLOOM_K)
         ]
 
+    # gate the eval slice too: the doc_id filter pushes below the
+    # repartition into the scan (cheap row predicate — exactly what
+    # belongs there), so the exchange carries only eval rows and the
+    # CPU-heavy gram build + probe-position explode run parallel above
+    # it (was a full serial pass on the single-split testdata scan)
     ev_g = (
-        docs.filter(F.col("doc_id") % DECON_SLICE == 0)
+        maybe_parallelize(docs, spark)
+        .filter(F.col("doc_id") % DECON_SLICE == 0)
         .select(F.explode(_gram_array(F.col("text"), DECON_N)).alias("g"))
         .distinct()
     )

@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..session import load_table
+from ..session import load_table, maybe_parallelize
 
 TRACKING = "utm_[a-z]+|ref|fbclid|gclid"
 _AUTH = "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*"
@@ -172,8 +172,11 @@ def q_url_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     production size — millions of hosts — it is still a few hundred MB
     of strings, the canonical broadcast-dimension case; never a
     shuffle of the corpus), and the keyword rule is an in-row rlike.
-    Zero exchanges of document rows end to end."""
-    docs = load_table(spark, sf_dir, "documents")
+    Zero exchanges of document rows end to end on a multi-split input;
+    on the single-split testdata the gated parallelizer fires (r7,
+    ADVICE r6: the multi-pass regex normalize + host/path extraction
+    ran serially on one core — the r5 serial-projection class)."""
+    docs = maybe_parallelize(load_table(spark, sf_dir, "documents"), spark)
     norm = normalize_url(_messy_url())
     base = (
         docs.select("doc_id", norm.alias("norm_url"))

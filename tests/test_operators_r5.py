@@ -218,27 +218,31 @@ def test_decontaminate_flags_eval_slice_and_stays_broadcast(spark):
         if r["n_grams"] == 0:
             assert not r["contaminated"] and r["overlap_cnt"] == 0
     assert hit >= 1
-    # plan: corpus side never shuffles — the only join broadcasts the
-    # single-row eval-gram array (Catalyst constant-folds the k=1
-    # literal key, so the BroadcastHashJoin degenerates to a 1-row
-    # BroadcastNestedLoopJoin buildright — same data movement, and
-    # 1 build row × n stream rows is linear, not quadratic); no hash
-    # exchange on doc rows, no aggregation above the join
+    # plan (r7 shape): per-doc grams EXPLODE and probe the broadcast
+    # eval-gram set via a BroadcastHashJoin (the old in-row
+    # array_intersect rebuilt an O(|eval|) hash set per corpus row);
+    # the per-doc re-aggregation's exchange must sit ABOVE a partial
+    # HashAggregate — i.e. gram rows collapse to one row per doc
+    # map-side BEFORE they shuffle — and the gram relation itself
+    # never hash-exchanges
     plan = _final_plan(df)
-    assert (
-        "broadcasthashjoin" in plan
-        or "broadcastnestedloopjoin buildright" in plan
-    ), plan
-    assert "hashpartitioning(doc_id" not in plan, plan
+    assert "broadcasthashjoin" in plan, plan
+    assert "hashpartitioning(g#" not in plan, plan  # grams never shuffle
+    assert "partial_max" in plan and "partial_sum" in plan, plan
+    # the doc_id exchange consumes the partial aggregate's output, so
+    # its shuffled width is O(docs), not O(grams)
+    assert "hashpartitioning(doc_id" in plan, plan
     # (on the single-split testdata the gated round-robin parallelizer
-    # fires for the CPU-heavy gram projection; the strong
-    # no-corpus-exchange claim is asserted on a pre-split input below)
+    # fires for the CPU-heavy gram projection; the pre-split shape is
+    # asserted below)
 
 
 def test_decontaminate_presplit_corpus_side_is_exchange_free(spark, tmp_path):
     """On a multi-split input the gate is off: the corpus side of the
-    decontamination join is scan → project → broadcast-join, zero
-    exchanges; only the tiny eval side shuffles."""
+    decontamination join is scan → project → explode → broadcast-join
+    → partial agg with NO round-robin repartition; the only exchanges
+    are the tiny eval side's distinct and the O(docs) re-aggregation
+    of already-collapsed partial rows."""
     from readability_py_spark.operators.textstats import q_decontaminate
     from readability_py_spark.session import load_table
 
@@ -252,7 +256,8 @@ def test_decontaminate_presplit_corpus_side_is_exchange_free(spark, tmp_path):
     df.write.format("noop").mode("overwrite").save()
     plan = _final_plan(df)
     assert "roundrobin" not in plan, plan
-    assert "hashpartitioning(doc_id" not in plan, plan
+    assert "hashpartitioning(g#" not in plan, plan  # grams never shuffle
+    assert "partial_max" in plan and "partial_sum" in plan, plan
 
 
 # ---------------------------------------------------------------------------
@@ -404,18 +409,37 @@ def test_pii_scrub_redacts_exactly_the_decorated_docs(spark):
         assert "@" not in r["scrubbed"]
 
 
-def test_sampling_and_scrub_plans_are_map_only(spark):
-    """Both are pure projections that fuse into the scan stage — zero
-    exchanges at any split count."""
+def test_sampling_and_scrub_plans_are_map_only(spark, tmp_path):
+    """Both are pure projections that fuse into the scan stage.
+    sample_stratified is exchange-free at any split count; pii_scrub's
+    six regexp passes go through the gated parallelizer (r7), so on
+    the single-split testdata its ONLY exchange is the round-robin
+    gate, and on a pre-split input it is exchange-free."""
     from readability_py_spark.operators.packing import (
         q_pii_scrub,
         q_sample_stratified,
     )
+    from readability_py_spark.session import load_table
 
-    for fn in (q_sample_stratified, q_pii_scrub):
-        df = fn(spark, SF_SMOKE)
-        df.write.format("noop").mode("overwrite").save()
-        assert "exchange" not in _final_plan(df), fn.__name__
+    df = q_sample_stratified(spark, SF_SMOKE)
+    df.write.format("noop").mode("overwrite").save()
+    assert "exchange" not in _final_plan(df)
+
+    df = q_pii_scrub(spark, SF_SMOKE)
+    df.write.format("noop").mode("overwrite").save()
+    plan = _final_plan(df)
+    assert "hashpartitioning" not in plan, plan
+    assert plan.count("exchange roundrobin") <= 1, plan
+
+    sf = str(tmp_path)
+    (
+        load_table(spark, SF_SMOKE, "documents")
+        .repartition(32)
+        .write.parquet(f"{sf}/documents.parquet")
+    )
+    df = q_pii_scrub(spark, sf)
+    df.write.format("noop").mode("overwrite").save()
+    assert "exchange" not in _final_plan(df)
 
 
 def test_tfidf_cosine_pairs_shape_and_semantics(spark):
