@@ -225,7 +225,38 @@ def _band_signatures(
     """(doc_id, band, band_sig) for k minhashes in bands of band_size —
     map-only signature build (no explode of shingles, no shuffle).
     ``hash_col`` picks the permutation family: md5 (oracle-parity
-    default) or xxhash64 (production)."""
+    default) or xxhash64 (production).
+
+    r7: the k mins come from ONE aggregate pass over the shingle array
+    (acc = k-vector of running mins, null-initialized; ``least`` skips
+    nulls exactly as ``array_min`` does) instead of k independent
+    ``array_min(transform(sh, …))`` traversals. Hash count is
+    unchanged — k hashes per shingle either way, and the hash is the
+    oracle-pinned family — but the interpreted higher-order-function
+    machinery runs |sh| outer iterations instead of k·|sh| (measured
+    9.7 → 8.6 s on the k=64 md5 build at sf1.0; output set-identical
+    by construction and by the A/B in OPTIMIZATION_r07.md). An
+    empty/1-token doc folds to an all-null vector → concat_ws skips
+    nulls → band_sig '' → dropped by the existing filter, matching
+    array_min's null on empty input."""
+    fast = hash_col is _minhash_fast_col
+
+    def hashes_of(s: Column) -> Column:
+        if fast:
+            return F.array(*[F.xxhash64(F.lit(i), s) for i in range(k)])
+        return F.array(
+            *[
+                F.md5(F.encode(F.concat(F.lit(f"{i}:"), s), "utf-8"))
+                for i in range(k)
+            ]
+        )
+
+    init = F.array_repeat(F.lit(None).cast("bigint" if fast else "string"), k)
+    mins = F.aggregate(
+        F.col("sh"),
+        init,
+        lambda acc, s: F.zip_with(acc, hashes_of(s), lambda a, b: F.least(a, b)),
+    )
     n_bands = k // band_size
     bands = F.array(
         *[
@@ -234,8 +265,8 @@ def _band_signatures(
                 F.concat_ws(
                     ",",
                     *[
-                        hash_col(i)
-                        for i in range(b * band_size, (b + 1) * band_size)
+                        F.element_at(F.col("m"), b * band_size + j + 1)
+                        for j in range(band_size)
                     ],
                 ).alias("band_sig"),
             )
@@ -252,9 +283,16 @@ def _band_signatures(
     # serial corpus pass. A predicate on the generator's output cannot
     # cross the Generate, so it stays in the parallel stage; with a
     # real multi-split scan both forms fuse into the scan stage.
-    return d.select("doc_id", F.explode(bands).alias("bs")).select(
-        "doc_id", F.col("bs.band").alias("band"), F.col("bs.band_sig").alias("band_sig")
-    ).filter(F.col("band_sig") != "")
+    return (
+        d.select("doc_id", mins.alias("m"))
+        .select("doc_id", F.explode(bands).alias("bs"))
+        .select(
+            "doc_id",
+            F.col("bs.band").alias("band"),
+            F.col("bs.band_sig").alias("band_sig"),
+        )
+        .filter(F.col("band_sig") != "")
+    )
 
 
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -88,14 +88,24 @@ def q_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("c12") + F.lit(1.0))
         / (F.col("c1").cast("double") + F.col("nv").cast("double"))
     )
+    # r7: fold the context counts and the vocab scalar into the MODEL
+    # relation (vocabulary-sized) before the corpus join, so the 8M-row
+    # exploded bigram relation crosses ONE join on (w1, w2) instead of
+    # two (the old big⋈bc⋈cc chain re-shuffled and re-sorted the full
+    # bigram relation a second time just to attach c1). The per-bigram
+    # nll doubles are identical; only their arrival order at the avg
+    # changes, which is already run-dependent under shuffle (see the
+    # float-discipline note above — ln/avg sit far above the ROUND 4
+    # reporting precision).
+    model = bc.join(cc, ["w1"]).crossJoin(vocab).select(
+        "w1", "w2", nll.alias("nll")
+    )
     return (
-        big.join(bc, ["w1", "w2"])
-        .join(cc, ["w1"])
-        .crossJoin(vocab)
+        big.join(model, ["w1", "w2"])
         .groupBy("doc_id")
         .agg(
             F.count("*").cast("bigint").alias("n_bigrams"),
-            (F.round(F.avg(nll), 4) + F.lit(0.0)).alias("avg_nll"),
+            (F.round(F.avg("nll"), 4) + F.lit(0.0)).alias("avg_nll"),
         )
     )
 

@@ -58,6 +58,12 @@ FROM documents WHERE lang = 'en' AND n_chars > 200
 # ---------------------------------------------------------------------------
 
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary. Deliberately NOT gated (r7
+    A/B): the codegen'd decimal partial agg over the single-split
+    6M-row scan costs ~1.1 s serial, and a parallelizing round-robin
+    exchange of the filtered rows measured SLOWER (1.12 → 1.59 s at
+    sf1.0) — the exchange bytes cost more than the serial agg saves
+    (contrast cube_orders, whose 4× Expand flips that balance)."""
     li = load_table(spark, sf_dir, "lineitem")
     dec = lambda c: F.col(c).cast("decimal(18,4)")
     return (
@@ -116,7 +122,10 @@ FROM base
 
 def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Star join with explicitly broadcast small dims — at 100 TB the fact
-    side streams; only nation/region/customer fit driver-side."""
+    side streams; only nation/region/customer fit driver-side.
+    Deliberately NOT gated (r7 A/B): broadcast probes + partial agg
+    over the single-split scan are cheap codegen; the parallelizing
+    exchange measured slower (1.35 → 1.81 s at sf1.0)."""
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
@@ -567,7 +576,11 @@ WHERE doc_id < 50
 
 
 def q_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders")
+    """CUBE aggregation. Gated parallelizer (r7): the Expand (4× row
+    multiplication) + partial aggregation ran serially on the
+    single-split orders scan; exact-decimal sums are exchange-order
+    independent."""
+    orders = maybe_parallelize(load_table(spark, sf_dir, "orders"), spark)
     return orders.cube("o_orderstatus", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("n"),
         _dsum("o_totalprice").alias("total"),
@@ -589,35 +602,68 @@ def q_price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact (interpolated) percentiles — both engines sort + linear
     interpolation, so values match bit-for-bit after round(4).
 
-    r7: the four percentiles come from ONE ``percentile(col, array(…))``
-    aggregate instead of four independent ``percentile`` calls. Each
-    call maintains its own value→count OpenHashMap over every input row
-    and merges/sorts it per group at eval time; the array form builds
-    that buffer once and interpolates all four points from the same
-    sorted counts — identical algorithm, identical values, a quarter of
-    the aggregation work (23.2 s → see OPTIMIZATION_r07.md at sf1.0).
+    r7 rewrite: Spark's ``percentile()`` aggregate keeps a value→count
+    OpenHashMap per (group × task), serializes those maps through the
+    shuffle, merges them per group and sorts the merged map at eval —
+    ~4.5M distinct prices at sf1.0 made that 23.2 s (one call per
+    percentile), 10.8 s (one array call), 9.0 s (array call + gated
+    parallel update pass). The sort-based form here computes the SAME
+    interpolated exact percentile from a per-group window sort:
+    rn = row_number ordered by value is exactly the 0-based multiset
+    index + 1 that percentile's sorted-counts walk uses, and the final
+    interpolation replicates Percentile.getPercentile arithmetic
+    operation for operation — position = p * (count-1) in doubles,
+    lowerKey/higherKey picked at floor/ceil, then
+    (higher − position)·lowerKey + (position − lower)·higherKey —
+    so the values are bit-identical (asserted against percentile()
+    itself in tests/test_operators_r7.py, validated by hand on all
+    four SFs, and oracle-green at sf0.01/sf0.1). 4.8 s at sf1.0.
 
-    The scan goes through maybe_parallelize: percentile's per-row
-    update is a value→count hash insert (ObjectHashAggregate, no
-    codegen), and the sf1.0 lineitem parquet is a single 126 MB input
-    split — the whole 6M-row update pass ran on ONE core. The exact
-    percentile's merged map is partition-order independent, so the
-    round-robin exchange cannot change the result; on a multi-split
-    production scan the gate is off."""
-    li = maybe_parallelize(load_table(spark, sf_dir, "lineitem"), spark)
-    pcts = F.expr(
-        "percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D, 0.9D))"
+    Scale shape: one hash exchange on the group key + one per-group
+    sort — the same per-group single-reducer bound as the percentile
+    aggregate's merge phase, minus the hash-map build/serialize/merge
+    over every task. Exact per-group percentile is irreducibly
+    group-local; the production monitoring path for corpus-scale
+    groups stays q_price_quartiles_approx (mergeable sketch)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    vals = li.filter(F.col("l_extendedprice").isNotNull()).select(
+        "l_returnflag", F.col("l_extendedprice").alias("v")
     )
-    return (
-        li.groupBy("l_returnflag")
-        .agg(pcts.alias("pcts"))
-        .select(
-            "l_returnflag",
-            F.round(F.element_at("pcts", 1), 4).alias("p25"),
-            F.round(F.element_at("pcts", 2), 4).alias("p50"),
-            F.round(F.element_at("pcts", 3), 4).alias("p75"),
-            F.round(F.element_at("pcts", 4), 4).alias("p90"),
+    w = Window.partitionBy("l_returnflag").orderBy("v")
+    wn = Window.partitionBy("l_returnflag")
+    g = vals.select(
+        "l_returnflag",
+        "v",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    pcts = {"p25": 0.25, "p50": 0.5, "p75": 0.75, "p90": 0.9}
+
+    def pos(p):
+        return F.lit(p) * (F.col("n") - F.lit(1)).cast("double")
+
+    aggs = [F.max("n").alias("n")]
+    for name, p in pcts.items():
+        lo, hi = F.floor(pos(p)), F.ceil(pos(p))
+        aggs.append(
+            F.max(F.when(F.col("rn") == lo + 1, F.col("v"))).alias(f"{name}_lk")
         )
+        aggs.append(
+            F.max(F.when(F.col("rn") == hi + 1, F.col("v"))).alias(f"{name}_hk")
+        )
+    per = g.groupBy("l_returnflag").agg(*aggs)
+
+    def interp(name, p):
+        ps = pos(p)
+        lo, hi = F.floor(ps), F.ceil(ps)
+        lk, hk = F.col(f"{name}_lk"), F.col(f"{name}_hk")
+        v = F.when(hi == lo, lk).otherwise(
+            (hi.cast("double") - ps) * lk + (ps - lo.cast("double")) * hk
+        )
+        return F.round(v, 4).alias(name)
+
+    return per.select(
+        "l_returnflag", *[interp(name, p) for name, p in pcts.items()]
     )
 
 
@@ -716,7 +762,9 @@ FROM events GROUP BY user_id
 
 def q_top_parts_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global top-10 (orderBy + limit → TakeOrdered, no full sort at
-    scale) over a broadcast dim join."""
+    scale) over a broadcast dim join. Deliberately NOT gated (r7 A/B):
+    the per-partkey codegen partial agg over the single-split scan is
+    cheaper than the parallelizing exchange (1.68 → 2.24 s at sf1.0)."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
     dec = lambda c: F.col(c).cast("decimal(18,4)")

@@ -497,6 +497,14 @@ FROM dims GROUP BY cell, dv.dim
 # pool (the SEMDEDUP_POOL lowest vec_ids of the cell) instead of all
 # cell members — |cell| × POOL comparisons, linear in the cell, the
 # same bounded-candidate discipline as the MinHash hot-bucket caps.
+# POSITIVITY INVARIANT (ADVICE r6): semdedup's emitted `cosine` omits
+# the `+ 0.0` negative-zero guard in both dialects, which is safe ONLY
+# while SEMDEDUP_COS > 0 bounds every emitted value strictly positive
+# (ROUND can only produce -0.0 from a tiny negative input). If this
+# threshold is ever lowered to <= 0, add `+ 0.0` to the cosine output
+# in BOTH the Spark query and the DuckDB oracle (the kmeans_refine
+# rule) — in an optimization round the oracle text is frozen, so the
+# comment, not a code change, is the guard.
 SEMDEDUP_COS = 0.42
 SEMDEDUP_POOL = 32
 

@@ -41,6 +41,12 @@ def main() -> None:
     common = sorted(set(old) & set(new))
     sub_old = sum(old[k] for k in common)
     sub_new = sum(new[k] for k in common)
+    if not common or sub_old == 0:
+        # ADVICE r6: disjoint query sets (or an all-zero common
+        # subtotal) must not ZeroDivisionError before reporting
+        print(f"common {len(common)} queries, old subtotal {sub_old:.2f}s: "
+              "no comparable field ratio")
+        return
     print(
         f"common {len(common)} queries: {sub_old:.2f}s -> {sub_new:.2f}s "
         f"({sub_new / sub_old:.2f}x uniform-field ratio)"
