@@ -96,10 +96,18 @@ def dedup_incremental_from(
     new_fp = new_docs.select(
         "doc_id", F.md5(F.encode(F.col("text"), "utf-8")).alias("fp")
     )
-    exact = (
-        new_fp.join(old_fps.select(F.col("doc_id").alias("old_id"), "fp"), "fp")
+    # r7: eager-persist the exact channel — it feeds BOTH the near-dup
+    # probe's anti-join AND the final verdict join (the multi-reference
+    # rule), and un-persisted it re-ran the full fingerprint join
+    # (md5 over every text + the fp equi-join + groupBy) once per
+    # consumer. The relation is at most one row per new doc.
+    exact = _persist(
+        new_fp.join(
+            old_fps.select(F.col("doc_id").alias("old_id"), "fp"), "fp"
+        )
         .groupBy("doc_id")
-        .agg(F.min("old_id").alias("match_id"))
+        .agg(F.min("old_id").alias("match_id")),
+        eager=True,
     )
     # near-dup channel probes only docs with no exact match
     probe = new_docs.join(exact.select("doc_id"), "doc_id", "left_anti")

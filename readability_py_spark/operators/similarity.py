@@ -245,9 +245,16 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB: the cell index is the partition/cluster key, a probe
     touches NPROBE/IVF_CELLS of the corpus, and the per-cell top-k is
     the brute-force kernel — no all-pairs anywhere."""
+    from .dedup import _persist
+
     n = _normed(spark, sf_dir)
     dots = F.array(*[_dot(F.col("v"), _lit_vec(c)) for c in IVF_CENTROIDS])
-    base = n.select("vec_id", "v", "nrm", dots.alias("dots"))
+    # r7: eager-persist the dots base — both the corpus cell assignment
+    # and the query probe branch read it (the multi-reference rule);
+    # un-persisted, the 8-centroid × 64-dim fold ran once per branch
+    base = _persist(
+        n.select("vec_id", "v", "nrm", dots.alias("dots")), eager=True
+    )
     vec = base.select(
         "vec_id",
         "v",
