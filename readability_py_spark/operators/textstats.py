@@ -657,12 +657,24 @@ def _winnow_sql(dialect: str, hint: str = "") -> str:
             f"CAST(conv(substr(md5(substr(n, i, {k})), 1, 8), 16, 10) AS BIGINT))"
         )
         # Spark's sequence(1, n) DESCENDS when n < 1, so the size guard
-        # must wrap the whole selection, not just the gram build
-        # array_position returns BIGINT; element_at's index must be INT
+        # must wrap the whole selection, not just the gram build.
+        # r7: the selected VALUE in window i is simply
+        # array_min(slice(hs, i, w)). The classic winnowing rightmost-
+        # min POSITION arithmetic (kept verbatim in the DuckDB twin:
+        # i + w - first_position(reverse(window), min(window))) picks
+        # WHICH element to emit, but the element at the rightmost-min
+        # position has, by definition, the window-min VALUE — and this
+        # operator's output is the value set (array_sort∘array_distinct
+        # of sel), where position never survives. Element-wise sel is
+        # therefore identical, at 2 interpreted nodes per window
+        # instead of 7 (slice twice + reverse + min + position +
+        # element_at): measured 5.2 → see OPTIMIZATION_r07.md; the
+        # DuckDB oracle still runs the positional form, so the
+        # equivalence is verified against a genuinely different
+        # algorithm on every oracle run.
         sel = (
             f"transform(sequence(1, size(hs) - {w - 1}), i -> "
-            f"element_at(hs, CAST(i + {w} - array_position(reverse(slice(hs, i, {w})), "
-            f"array_min(slice(hs, i, {w}))) AS INT)))"
+            f"array_min(slice(hs, i, {w})))"
         )
         # `hint` is parallelize_hint(...)'s output: REPARTITION only on
         # a split-starved scan, "" on a real multi-split input (where a
